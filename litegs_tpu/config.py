@@ -1,0 +1,197 @@
+"""Configuration system for litegs_tpu.
+
+TPU-native re-design of the reference's reflection-based argparse groups
+(reference: litegs/arguments.py:8-112). We keep the same four parameter
+groups and default values so a LiteGS user finds identical knobs, but use
+frozen dataclasses (hashable -> usable as jit static args) instead of
+mutable reflection classes, and add a fifth TPU-specific group
+(:class:`CapacityParams`) that replaces the reference's GPU-driven dynamic
+allocation (reference: litegs/data.py:236-245, compact.cu:527-551) with
+static padded capacities -- the TPU/XLA equivalent of the same feedback
+idea (see ARCHITECTURE.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+from argparse import ArgumentParser
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelParams:
+    """Scene/model-level options (reference: litegs/arguments.py:58-67)."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    eval: bool = False
+    # shorthand flags, as in the reference (leading '_' convention)
+    _shorthand = {"source_path": "-s", "model_path": "-m", "images": "-i",
+                  "resolution": "-r", "white_background": "-w"}
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineParams:
+    """Render pipeline options (reference: litegs/arguments.py:69-78)."""
+
+    cluster_size: int = 128
+    tile_size: tuple[int, int] = (8, 16)
+    sparse_grad: bool = True
+    device_preload: bool = True
+    enable_transmitance: bool = False
+    enable_depth: bool = False
+    input_color_type: str = "sh"  # 'rgb' or 'sh'
+    # TPU-specific: which rasterizer backend to use.
+    # 'pallas' = hand-written TPU kernels; 'jnp' = pure-jnp reference path
+    # (the analogue of the reference's call_script path, wrapper.py:21-164).
+    raster_backend: str = "pallas"
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationParams:
+    """Optimizer options (reference: litegs/arguments.py:80-93)."""
+
+    iterations: int = 30000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.025
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    lambda_dssim: float = 0.2
+    reg_weight: float = 0.0
+    learnable_viewproj: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DensifyParams:
+    """Densification options (reference: litegs/arguments.py:95-112)."""
+
+    densification_interval: int = 5
+    densify_from: int = 3
+    densify_until: int = -1
+    opacity_reset_interval: int = 10
+    opacity_reset_mode: str = "decay"  # 'decay' | 'reset'
+    prune_mode: str = "weight"         # 'weight' | 'threshold'
+    target_primitives: int = 1000000
+    # legacy thresholds (official-ADC mode)
+    densify_grad_threshold: float = 0.00015
+    opacity_threshold: float = 0.005
+    screen_size_threshold: int = 128
+    percent_dense: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityParams:
+    """Static capacities for the TPU pipeline.
+
+    The reference sizes its buffers dynamically with pinned-memory feedback
+    (litegs/data.py:236-245; binning.cu:137-169; compact.cu:527-551).  Under
+    XLA everything must be statically shaped, so we instead fix capacities up
+    front and mask.  ``auto_capacity()`` derives sane values from the target
+    primitive count.
+
+    Attributes:
+      primitive_capacity: max primitives N_cap (multiple of chunk_size*128).
+      visible_capacity:   max visible primitives per view M_cap.
+      row_capacity:       max (point, tile-row) pairs per view.
+      entry_capacity:     max (point, tile) pairs per view (binning table).
+    """
+
+    primitive_capacity: int = 0
+    visible_capacity: int = 0
+    row_capacity: int = 0
+    entry_capacity: int = 0
+
+    def validate(self) -> None:
+        assert self.primitive_capacity % 128 == 0
+        assert self.visible_capacity % 128 == 0
+        assert self.entry_capacity % 128 == 0
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def auto_capacity(target_primitives: int,
+                  visible_frac: float = 0.9,
+                  rows_per_visible: float = 3.0,
+                  entries_per_visible: float = 7.0) -> CapacityParams:
+    """Derive static capacities from a primitive budget.
+
+    Defaults are deliberately generous; the trainer reports overflow counters
+    so users can shrink them (the static-shape analogue of the reference's
+    1.2x/1.5x feedback over-allocation, compact.cu:535, binning.cu:152).
+    """
+    n_cap = round_up(int(target_primitives * 1.08), 128 * 128)
+    m_cap = round_up(int(n_cap * visible_frac), 128)
+    return CapacityParams(
+        primitive_capacity=n_cap,
+        visible_capacity=m_cap,
+        row_capacity=round_up(int(m_cap * rows_per_visible), 128),
+        entry_capacity=round_up(int(m_cap * entries_per_visible), 128),
+    )
+
+
+def get_default_arg():
+    """Default bundle (reference: litegs/config/__init__.py:3-8)."""
+    return (ModelParams(), OptimizationParams(), PipelineParams(),
+            DensifyParams())
+
+
+def get_quality_arg():
+    """Quality bundle (reference: litegs/config/__init__.py:10-16)."""
+    dp = dataclasses.replace(DensifyParams(), target_primitives=4000000)
+    op = dataclasses.replace(OptimizationParams())
+    return ModelParams(), op, PipelineParams(), dp
+
+
+# ---------------------------------------------------------------------------
+# CLI plumbing: dataclass fields -> argparse flags (mirrors the reference's
+# reflection convention, litegs/arguments.py:10-35).
+# ---------------------------------------------------------------------------
+
+_GROUPS = (ModelParams, OptimizationParams, PipelineParams, DensifyParams)
+
+
+def add_cmdline_args(parser: ArgumentParser) -> None:
+    seen = set()
+    for cls in _GROUPS:
+        group = parser.add_argument_group(cls.__name__)
+        shorthand = getattr(cls, "_shorthand", {})
+        for f in dataclasses.fields(cls):
+            if f.name in seen:
+                continue
+            seen.add(f.name)
+            names = ["--" + f.name]
+            if f.name in shorthand:
+                names.append(shorthand[f.name])
+            if f.type in ("bool", bool):
+                group.add_argument(*names, default=f.default,
+                                   action="store_true")
+            elif f.type in ("tuple[int, int]",):
+                group.add_argument(*names, default=f.default, type=int,
+                                   nargs=2)
+            else:
+                ty = {"int": int, "float": float, "str": str}.get(
+                    f.type, type(f.default))
+                group.add_argument(*names, default=f.default, type=ty)
+
+
+def extract_groups(args) -> tuple[ModelParams, OptimizationParams,
+                                  PipelineParams, DensifyParams]:
+    out = []
+    for cls in _GROUPS:
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if hasattr(args, f.name):
+                v = getattr(args, f.name)
+                if f.name == "tile_size" and isinstance(v, list):
+                    v = tuple(v)
+                kwargs[f.name] = v
+        out.append(cls(**kwargs))
+    return tuple(out)

@@ -1,0 +1,57 @@
+"""Synthetic scene generation for tests and benchmarks.
+
+The environment has no image datasets, so tests and ``bench.py`` build
+scenes procedurally: random gaussian clouds plus cameras on a sphere looking
+at the origin.  Ground-truth images are produced with the pure-jnp reference
+renderer, giving a closed-loop recovery task with the same compute shape as
+MipNeRF-360-style training.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .camera import FrameInfo, PinholeCamera
+from ..utils import math as um
+
+
+def make_cameras(n_frames: int, img_h: int, img_w: int,
+                 radius: float = 4.0, fov_deg: float = 60.0,
+                 seed: int = 0) -> tuple[PinholeCamera, list[FrameInfo]]:
+    """Cameras on a sphere of given radius, all looking at the origin."""
+    rng = np.random.default_rng(seed)
+    focal = (img_w * 0.5) / np.tan(np.radians(fov_deg) / 2)
+    cam = PinholeCamera(id=0, width=img_w, height=img_h,
+                        focal_x=focal, focal_y=focal)
+    frames = []
+    for i in range(n_frames):
+        # golden-spiral-ish directions with jitter, biased to upper sphere
+        theta = 2 * np.pi * (i / n_frames + 0.1 * rng.random())
+        phi = np.arccos(np.clip(0.2 + 0.6 * rng.random(), -1, 1))
+        center = radius * np.array([np.sin(phi) * np.cos(theta),
+                                    np.sin(phi) * np.sin(theta),
+                                    np.cos(phi)])
+        # build world->cam rotation: camera +z looks at origin
+        fwd = -center / np.linalg.norm(center)
+        up = np.array([0.0, 0.0, 1.0])
+        if abs(np.dot(fwd, up)) > 0.95:
+            up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(fwd, right)
+        R = np.stack([right, true_up, fwd])          # world->cam rows
+        t = -R @ center
+        qvec = um.rotmat2qvec(R)
+        frames.append(FrameInfo(id=i, qvec=qvec, tvec=t, camera_id=0,
+                                name=f"synth_{i:04d}"))
+    return cam, frames
+
+
+def make_gaussian_cloud(n_points: int, seed: int = 0, extent: float = 1.5):
+    """Random seed point cloud (positions in a ball, random colors)."""
+    rng = np.random.default_rng(seed)
+    xyz = rng.normal(size=(n_points, 3)).astype(np.float32)
+    xyz *= extent / np.maximum(np.linalg.norm(xyz, axis=1, keepdims=True), 1)
+    r = rng.random((n_points, 1)).astype(np.float32) ** (1 / 3)
+    xyz = xyz * r
+    color = rng.random((n_points, 3)).astype(np.float32)
+    return xyz, color

@@ -1,0 +1,255 @@
+"""Tile binning: build the per-tile depth-sorted gaussian table.
+
+The reference pipeline (binning.cu / speedy_splat.cuh) is:
+  1. per-point visibility + exact ellipse/tile-row intersection *count*
+     (get_allocate_size_kernel, binning.cu:289-385),
+  2. depth-sort points, prefix-sum counts (wrapper.py:739-745),
+  3. scatter (tile, point) pairs at prefix offsets (create_table),
+  4. cub radix-sort pairs by tile, then tile_range start indices.
+
+TPU-native redesign (no scatter, no atomics, static shapes):
+  1. the same visibility test and *closed-form* exact ellipse/tile-row
+     intersection, evaluated independently per (point, tile-row) pair --
+     the AccuTile loop (speedy_splat.cuh:88-147) becomes data parallelism;
+  2. depth-sort points with a single 32-bit key sort;
+  3. expand variable counts into static-capacity flat arrays with
+     rank-decode gathers (cumsum + vectorized binary search) instead of
+     scatter: entry -> (owner, rank) is closed-form, and rank -> tile is
+     closed-form arithmetic, so emission is a pure gather;
+  4. one stable 32-bit key sort by tile id; per-tile ranges by binary
+     search.
+
+The exact intersection semantics match the reference: a tile is emitted iff
+the convex region {q <= t} with q the inv-covariance quadratic and
+t = 2 ln(255 * opacity) intersects the tile rectangle (both computations
+project ellipse-slab intersections, which is exact for convex sets).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BinningResult(NamedTuple):
+    sorted_point: jax.Array    # [E_cap] int32 point index per table entry
+    sorted_tile: jax.Array     # [E_cap] int32 tile id (== tiles_total pad)
+    entry_valid: jax.Array     # [E_cap] bool
+    tile_start: jax.Array      # [T] int32 start offset per tile
+    tile_count: jax.Array      # [T] int32 entries per tile
+    num_entries: jax.Array     # scalar int32 (true, pre-clamp)
+    primitive_visible: jax.Array  # [M] bool: point touches >= 1 tile
+    overflow: jax.Array        # scalar bool: any capacity exceeded
+
+
+def binary_search_right(sorted_arr, queries):
+    """Vectorized branchless binary search (side='right').
+
+    Returns, for each query q, the count of elements <= q in sorted_arr.
+    O(log n) gather steps; avoids jnp.searchsorted's sequential 'scan'
+    lowering on TPU.
+    """
+    n = sorted_arr.shape[0]
+    steps = max(1, math.ceil(math.log2(n + 1)))
+    lo = jnp.zeros_like(queries, dtype=jnp.int32)
+    hi = jnp.full_like(queries, n, dtype=jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mid_val = jnp.take(sorted_arr, jnp.clip(mid, 0, n - 1))
+        go_right = (mid_val <= queries) & (lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right | (lo >= hi), hi, mid)
+    return lo
+
+
+def expand_by_counts(counts, capacity: int):
+    """Decode flat slots of a variable-length concatenation.
+
+    Given per-item counts, slot e of the concatenation belongs to item
+    ``owner[e]`` at ``rank[e]``.  This replaces the reference's prefix-sum +
+    scatter emission (binning.cu:33-110) with pure gathers.
+
+    Returns (owner [cap] int32, rank [cap] int32, valid [cap] bool,
+    total scalar int32).
+    """
+    m = counts.shape[0]
+    cum = jnp.cumsum(counts.astype(jnp.int32))
+    total = cum[-1]
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    owner = binary_search_right(cum, slots)          # first i with cum[i] > e
+    owner = jnp.minimum(owner, m - 1)
+    starts = cum - counts
+    rank = slots - jnp.take(starts, owner)
+    valid = slots < total
+    return owner, rank.astype(jnp.int32), valid, total
+
+
+def tile_counts_for_rows(px, py, a, b, c, t, disc, row, tile_h, tile_w,
+                         rect_min_x, rect_max_x):
+    """Exact x-tile span of the ellipse within one tile row (vectorized).
+
+    Closed form of the reference AccuTile slab walk (speedy_splat.cuh:88-127):
+    the x-extremes of the convex region {q <= t} within the y-slab
+    [row*tile_h, (row+1)*tile_h] are attained either at the global x-apex
+    (if its y lies in the slab) or at a slab edge; clamping the apex height
+    into the slab's y-interval (itself clamped to the ellipse's y-extent)
+    selects the right case in one evaluation of the line-intersection
+    formula x(y) = px + (-b h -+ sqrt(disc h^2 + t a)) / a.
+
+    Returns (min_tile, count) per row.
+    """
+    dy_max = jnp.sqrt(jnp.maximum(-t * a / disc, 0.0))
+    h0 = row * tile_h - py
+    h1 = (row + 1) * tile_h - py
+    h0c = jnp.clip(h0, -dy_max, dy_max)
+    h1c = jnp.clip(h1, -dy_max, dy_max)
+    # y-offset at which min-x / max-x are attained (dy = -(b/c) dx at the
+    # x-extreme; dx_min = -sqrt(-t c / disc))
+    dx_max = jnp.sqrt(jnp.maximum(-t * c / disc, 0.0))
+    h_xmin = (b / c) * dx_max
+    h_xmax = -h_xmin
+    he_min = jnp.clip(h_xmin, h0c, h1c)
+    he_max = jnp.clip(h_xmax, h0c, h1c)
+    sq_min = jnp.sqrt(jnp.maximum(disc * he_min * he_min + t * a, 0.0))
+    sq_max = jnp.sqrt(jnp.maximum(disc * he_max * he_max + t * a, 0.0))
+    x_lo = px + (-b * he_min - sq_min) / a
+    x_hi = px + (-b * he_max + sq_max) / a
+    min_tile = jnp.clip(jnp.floor(x_lo / tile_w).astype(jnp.int32),
+                        rect_min_x, rect_max_x)
+    max_tile = jnp.clip(jnp.floor(x_hi / tile_w).astype(jnp.int32) + 1,
+                        rect_min_x, rect_max_x)
+    count = jnp.maximum(max_tile - min_tile, 0)
+    return min_tile, count
+
+
+def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
+                     img_h: int, img_w: int, tile_h: int, tile_w: int,
+                     row_capacity: int, entry_capacity: int) -> BinningResult:
+    """Construct the depth-sorted per-tile gaussian table.
+
+    Args:
+      ndc:       [4, M] NDC positions.
+      view_z:    [M] view-space depth.
+      inv_cov2d: [3, M] inverse 2D covariance (a, b, c).
+      opacity:   [M] activated opacities.
+      valid_mask: [M] bool, False for padding slots.
+      img_h..tile_w: static image/tile geometry.
+      row_capacity / entry_capacity: static expansion capacities.
+    """
+    m = ndc.shape[-1]
+    tiles_x = math.ceil(img_w / tile_w)
+    tiles_y = math.ceil(img_h / tile_h)
+    tiles_total = tiles_x * tiles_y
+
+    a, b, c = inv_cov2d[0], inv_cov2d[1], inv_cov2d[2]
+    disc = b * b - a * c
+    # Visibility (binning.cu:319-320): NDC guard band 1.3, view z > 0.2,
+    # opacity >= 1/255, inverse covariance positive definite.
+    visible = ((jnp.abs(ndc[0]) <= 1.3) & (jnp.abs(ndc[1]) <= 1.3)
+               & (view_z > 0.2) & (opacity >= 1.0 / 255.0)
+               & (a > 0) & (c > 0) & (disc < 0) & valid_mask)
+
+    # pixel center coords (binning.cu:315-316)
+    px = (ndc[0] * 0.5 + 0.5) * img_w - 0.5
+    py = (ndc[1] * 0.5 + 0.5) * img_h - 0.5
+    t = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)
+
+    safe = visible
+    a_s = jnp.where(safe, a, 1.0)
+    c_s = jnp.where(safe, c, 1.0)
+    disc_s = jnp.where(safe, disc, -1.0)
+    t_s = jnp.where(safe, t, 0.0)
+
+    # ellipse bbox -> tile rect (binning.cu:324-355)
+    dx_max = jnp.sqrt(jnp.maximum(-t_s * c_s / disc_s, 0.0))
+    dy_max = jnp.sqrt(jnp.maximum(-t_s * a_s / disc_s, 0.0))
+    rect_min_x = jnp.clip(jnp.floor((px - dx_max) / tile_w), 0,
+                          tiles_x).astype(jnp.int32)
+    rect_max_x = jnp.clip(jnp.floor((px + dx_max + tile_w - 1) / tile_w), 0,
+                          tiles_x).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((py - dy_max) / tile_h), 0,
+                          tiles_y).astype(jnp.int32)
+    rect_max_y = jnp.clip(jnp.floor((py + dy_max + tile_h - 1) / tile_h), 0,
+                          tiles_y).astype(jnp.int32)
+    n_rows = jnp.where(safe & (rect_max_x > rect_min_x),
+                       rect_max_y - rect_min_y, 0)
+
+    # ---- depth order (wrapper.py:739-742): front-to-back over points ----
+    z_key = jnp.where(visible, view_z, jnp.inf).astype(jnp.float32)
+    _, depth_order = jax.lax.sort_key_val(
+        z_key, jnp.arange(m, dtype=jnp.int32), is_stable=True)
+    rows_sorted = jnp.take(n_rows, depth_order)
+
+    # ---- expansion 1: (point) -> (point, tile-row) ----
+    row_owner, row_rank, row_valid, total_rows = expand_by_counts(
+        rows_sorted, row_capacity)
+    row_pt = jnp.take(depth_order, row_owner)        # original point index
+
+    def g(x):
+        return jnp.take(x, row_pt)
+
+    row_y = jnp.take(rect_min_y, row_pt) + row_rank
+    min_tile_x, row_tiles = tile_counts_for_rows(
+        g(px), g(py), g(a_s), g(b), g(c_s), g(t_s), g(disc_s),
+        row_y.astype(jnp.float32), float(tile_h), float(tile_w),
+        g(rect_min_x), g(rect_max_x))
+    row_tiles = jnp.where(row_valid, row_tiles, 0)
+
+    # ---- expansion 2: (point, row) -> (point, row, tile) = table entry ----
+    ent_owner, ent_rank, ent_valid, total_entries = expand_by_counts(
+        row_tiles, entry_capacity)
+    ent_tile = (jnp.take(row_y, ent_owner) * tiles_x
+                + jnp.take(min_tile_x, ent_owner) + ent_rank)
+    ent_pt = jnp.take(row_pt, ent_owner)
+
+    # ---- stable sort by tile: (tile, depth) order ----
+    tile_key = jnp.where(ent_valid, ent_tile, tiles_total).astype(jnp.int32)
+    sorted_key, sorted_point = jax.lax.sort_key_val(tile_key, ent_pt,
+                                                    is_stable=True)
+
+    # ---- per-tile ranges (binning.cu:228-265 tile_range_kernel) ----
+    tile_ids = jnp.arange(tiles_total, dtype=jnp.int32)
+    tile_end = binary_search_right(sorted_key, tile_ids)
+    tile_start = binary_search_right(sorted_key, tile_ids - 1)
+    tile_count = (tile_end - tile_start).astype(jnp.int32)
+
+    # ---- 128-align each tile's segment ----
+    # The Pallas rasterizer DMAs gaussian blocks of 128 per tile; aligning
+    # every tile's segment to a 128 boundary makes those DMAs aligned and
+    # lets the backward kernel write whole gradient blocks without clobbering
+    # a neighboring tile's entries.  Pad slots carry entry_valid=False.
+    blk = 128
+    blocks = (tile_count + blk - 1) // blk
+    aligned_cum = jnp.cumsum(blocks * blk).astype(jnp.int32)
+    aligned_start = aligned_cum - blocks * blk
+    total_aligned = aligned_cum[-1]
+    slots = jnp.arange(entry_capacity, dtype=jnp.int32)
+    owner_tile = binary_search_right(aligned_cum, slots)
+    owner_tile = jnp.minimum(owner_tile, tiles_total - 1)
+    rank = slots - jnp.take(aligned_start, owner_tile)
+    src = jnp.take(tile_start, owner_tile) + rank
+    in_seg = (rank < jnp.take(tile_count, owner_tile)) & (
+        slots < total_aligned)
+    point_al = jnp.where(
+        in_seg, jnp.take(sorted_point, jnp.minimum(src, entry_capacity - 1)),
+        0)
+    tile_al = jnp.where(slots < total_aligned, owner_tile, tiles_total)
+
+    # per-point visibility = touches >= 1 tile (get_allocate_size != 0)
+    ent_counts = jax.ops.segment_sum(
+        jnp.where(row_valid, row_tiles, 0), row_pt, num_segments=m)
+    primitive_visible = ent_counts > 0
+
+    overflow = ((total_rows > row_capacity)
+                | (total_entries > entry_capacity)
+                | (total_aligned > entry_capacity))
+    return BinningResult(sorted_point=point_al.astype(jnp.int32),
+                         sorted_tile=tile_al.astype(jnp.int32),
+                         entry_valid=in_seg,
+                         tile_start=aligned_start,
+                         tile_count=tile_count,
+                         num_entries=total_entries,
+                         primitive_visible=primitive_visible,
+                         overflow=overflow)

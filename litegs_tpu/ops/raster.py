@@ -1,0 +1,155 @@
+"""Differentiable rasterize op: unified front-end over the Pallas TPU
+kernels and the pure-jnp reference path.
+
+The Pallas backend wires the hand-written backward kernel in via
+``jax.custom_vjp``; per-entry gradients are reduced to per-point gradients
+with ``segment_sum`` (the TPU replacement for the reference's atomicAdd
+accumulation into PackedGrad, raster.cu:794-849).
+
+Statistics (per-point fragment weight/count and opacity-gradient moments
+feeding densification, reference raster.cu:289-301,779-820 +
+wrapper.py:496-500) are NOT a hidden side effect of backward here -- JAX is
+functional -- but an explicit ``raster_stats`` pass the trainer runs on
+statistics epochs with the loss's image cotangent.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import raster_jnp, raster_pallas
+from .binning import BinningResult
+
+
+class RasterStats(NamedTuple):
+    weight_sum: jax.Array   # [M] sum of blend weights (fwd stat)
+    frag_count: jax.Array   # [M] fragments with valid alpha
+    err_sum: jax.Array      # [M] sum of per-fragment d_opacity
+    err_square_sum: jax.Array  # [M] sum of squared per-fragment d_opacity
+
+
+def _segment(data, ids, m):
+    return jax.ops.segment_sum(data, ids, num_segments=m)
+
+
+def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
+              tiles_total: int, tiles_x: int, tile_h: int, tile_w: int,
+              backend: str = "pallas", interpret: bool = False):
+    """Rasterize gaussians into tile-layout images (differentiable).
+
+    Args:
+      mean_pix: [2, M] pixel-space means (differentiable).
+      inv_cov:  [3, M] inverse 2D covariance (a, b, c) (differentiable).
+      color:    [C, M], C in {3, 4} (rgb [+ depth]) (differentiable).
+      opacity:  [M] activated opacities (differentiable).
+      table:    binning result (non-differentiable).
+    Returns:
+      (tiles_color [T, C, 128], tiles_trans [T, 128])
+    """
+    nchan, m = color.shape
+    if backend == "jnp":
+        out = raster_jnp.rasterize_reference(
+            mean_pix, inv_cov, color, opacity, table.sorted_point,
+            table.sorted_tile, table.entry_valid, table.tile_start,
+            tiles_total, tiles_x, tile_h, tile_w)
+        return out.tiles_color, out.tiles_trans
+
+    color4 = color if nchan == 4 else jnp.pad(color, ((0, 4 - nchan), (0, 0)))
+
+    @jax.custom_vjp
+    def _raster(mean_pix, inv_cov, color4, opacity):
+        out_tiles, _ = _raster_fwd(mean_pix, inv_cov, color4, opacity)
+        return out_tiles
+
+    def _raster_fwd(mean_pix, inv_cov, color4, opacity):
+        packed = raster_pallas.pack_entry_params(
+            mean_pix, inv_cov, color4[:3], opacity, color4[3],
+            table.sorted_point, table.sorted_tile, table.entry_valid,
+            tiles_x, tile_h, tile_w)
+        out_tiles = raster_pallas.raster_forward_pallas(
+            packed.params, table.tile_start, table.tile_count,
+            tiles_total, tile_h, tile_w, interpret=interpret)
+        residual = (packed.params, packed.mu_local, opacity, out_tiles)
+        return out_tiles, residual
+
+    def _raster_bwd(residual, d_out):
+        params, mu_local, opacity, out_tiles = residual
+        d_color_t = d_out[:, 0:4, :]
+        d_trans_t = d_out[:, 4, :]
+        grads16 = _backward_entry_grads(
+            params, out_tiles, d_color_t, d_trans_t, table,
+            tiles_total, tile_h, tile_w, interpret)
+        e = table.sorted_point.shape[0]
+        valid = table.entry_valid
+        g16 = jnp.where(valid[None, :], grads16[:, :e], 0.0)
+        inv_cov_e = params[12:15, :e]
+        op_e = jnp.take(opacity, table.sorted_point)
+        conv = raster_pallas.moments_to_grads(g16, mu_local, inv_cov_e, op_e)
+        ids = table.sorted_point
+        d_color = _segment(conv["d_color"].T, ids, m).T
+        d_invcov = _segment(conv["d_invcov"].T, ids, m).T
+        d_mean = _segment(conv["d_mean"].T, ids, m).T
+        d_op = _segment(conv["d_opacity"], ids, m)
+        return d_mean, d_invcov, d_color, d_op
+
+    _raster.defvjp(_raster_fwd, _raster_bwd)
+    out_tiles = _raster(mean_pix, inv_cov, color4, opacity)
+    return out_tiles[:, 0:nchan, :], out_tiles[:, 4, :]
+
+
+def _backward_entry_grads(params, out_tiles, d_color_t, d_trans_t, table,
+                          tiles_total, tile_h, tile_w, interpret):
+    """Assemble the backward kernel input tiles and run it."""
+    acc = out_tiles[:, 0:4, :]
+    t_fin = out_tiles[:, 4, :]
+    d0 = (jnp.sum(d_color_t * acc, axis=1) + t_fin * d_trans_t)  # [T, P]
+    dtiles = jnp.concatenate([
+        d_color_t, d_trans_t[:, None, :], d0[:, None, :],
+        jnp.zeros_like(d0[:, None, :]).repeat(2, axis=1)], axis=1)
+    return raster_pallas.raster_backward_pallas(
+        params, dtiles, table.tile_start, table.tile_count,
+        tiles_total, tile_h, tile_w, interpret=interpret)
+
+
+def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
+                 out_tiles_color, out_tiles_trans, d_tiles_color,
+                 d_tiles_trans, tiles_total: int, tiles_x: int,
+                 tile_h: int, tile_w: int, backend: str = "pallas",
+                 interpret: bool = False) -> RasterStats:
+    """Per-point densification statistics from a loss cotangent.
+
+    Functional analogue of the reference's in-backward statistic
+    accumulation: weight_sum / frag_count (raster.cu:289-301) and the
+    opacity-gradient first/second moments ("fragment_err",
+    raster.cu:779-820, wrapper.py:496-500).
+    """
+    nchan, m = color.shape
+    color4 = color if nchan == 4 else jnp.pad(color, ((0, 4 - nchan), (0, 0)))
+    d4 = (d_tiles_color if d_tiles_color.shape[1] == 4 else
+          jnp.pad(d_tiles_color, ((0, 0), (0, 4 - nchan), (0, 0))))
+    acc4 = (out_tiles_color if out_tiles_color.shape[1] == 4 else
+            jnp.pad(out_tiles_color, ((0, 0), (0, 4 - nchan), (0, 0))))
+    out_tiles = jnp.concatenate(
+        [acc4, out_tiles_trans[:, None, :],
+         jnp.zeros_like(out_tiles_trans[:, None, :]).repeat(3, axis=1)],
+        axis=1)
+    packed = raster_pallas.pack_entry_params(
+        mean_pix, inv_cov, color4[:3], opacity, color4[3],
+        table.sorted_point, table.sorted_tile, table.entry_valid,
+        tiles_x, tile_h, tile_w)
+    grads16 = _backward_entry_grads(
+        packed.params, out_tiles, d4, d_tiles_trans, table,
+        tiles_total, tile_h, tile_w, interpret)
+    e = table.sorted_point.shape[0]
+    g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
+    op_e = jnp.maximum(jnp.take(opacity, table.sorted_point), 1e-12)
+    ids = table.sorted_point
+    return RasterStats(
+        weight_sum=_segment(g16[11], ids, m),
+        frag_count=_segment(g16[12], ids, m),
+        err_sum=_segment(g16[10] / op_e, ids, m),
+        err_square_sum=_segment(g16[13] / (op_e * op_e), ids, m),
+    )

@@ -1,0 +1,428 @@
+"""Pallas TPU rasterizer: tile-binned alpha compositing, forward + backward.
+
+This is the TPU-native re-design of the reference CUDA rasterizer
+(raster.cu:161-332 forward, 599-853 backward).  The CUDA kernel maps one
+warp to a tile and walks the depth-sorted gaussian list with per-thread
+register blending and forward-difference exponent evaluation; none of that
+structure survives on a TPU.  Instead, everything becomes dense linear
+algebra on (gaussian-block x pixel) matrices that the MXU eats:
+
+* A tile is tile_h x tile_w = 128 pixels -> the 128-lane minor axis.
+* Gaussians are processed in depth-ordered blocks of G=128 (sublanes).
+* The alpha exponent is a *bilinear form*: with pixel features
+  h(p) = [1, x, y, x^2, xy, y^2] and per-gaussian coefficients f(g)
+  (quadratic expanded around the tile origin to keep f32 exact),
+  Q[g, p] = f(g) . h(p) -- one [128,6]x[6,128] MXU matmul per block,
+  replacing the CUDA forward-difference trick (raster.cu:237-257).
+* Opacity is folded into the exponent (alpha = exp(-0.5 Q + ln o)), so no
+  per-gaussian broadcast across lanes is ever needed.
+* The sequential front-to-back transmittance recursion becomes a
+  *cumulative product along sublanes*, computed as a strictly-lower
+  triangular ones-matmul over log(1 - alpha) -- again MXU work.
+* Color accumulation is C[4, G] @ W[G, 128] -- MXU.
+* The backward pass re-walks blocks in the same (forward) order using the
+  saved per-pixel final color and transmittance: with
+  S_i = C_total - prefix_i the suffix color,
+  dL/dalpha_i = (c_i . dC) T_i - (dC . S_i + T_fin dT)/(1 - alpha_i),
+  which is the same analytic form the CUDA backward computes back-to-front
+  (raster.cu:758-774).  Per-gaussian gradients leave the kernel as six
+  *moments* sum_p dq [1,x,y,x^2,xy,y^2] (one [128,128]x[128,6] matmul)
+  plus color/stat sums; the tiny per-entry conversion to
+  (d_invcov, d_mean, d_opacity) and the scatter-reduction to points happen
+  outside in jnp (segment_sum) -- the TPU replacement for the CUDA
+  atomicAdd accumulation (raster.cu:794-849).
+
+The reference's fp16 workarounds (x128 transmittance scaling, gradient
+max-normalization, raster.cu:180,490) are unnecessary in f32 and dropped;
+the *algorithmic* thresholds (alpha in [1/256, 255/256], stop at
+T <= 1/8192) are kept exactly -- they are semantics, not workarounds.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster_jnp import ALPHA_MAX, ALPHA_MIN, T_MIN
+
+G_BLK = 128          # gaussians per block (sublane-major)
+N_PIX = 128          # pixels per tile (lane-major); tile_h * tile_w == 128
+PAR_ROWS = 16        # packed per-entry parameter rows
+OUT_ROWS = 8         # output tile rows: rgb, depth, T, (3 spare)
+GRAD_ROWS = 16       # per-entry gradient rows emitted by the backward
+NEG_BIG = 60.0       # -0.5*Q' for padded entries => alpha ~ exp(-30)
+
+
+def _pixel_features(tile_h: int, tile_w: int):
+    """h(p) = [1, x, y, x^2, xy, y^2] in tile-local coords, as
+    H [8, 128] (sublane-padded) and Hm [128, 8]."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, N_PIX), 1)
+    x = (p % tile_w).astype(jnp.float32)
+    y = (p // tile_w).astype(jnp.float32)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    h = jnp.concatenate([one, x, y, x * x, x * y, y * y, zero, zero], axis=0)
+    pm = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
+    xm = (pm % tile_w).astype(jnp.float32)
+    ym = (pm // tile_w).astype(jnp.float32)
+    onem = jnp.ones_like(xm)
+    zerom = jnp.zeros_like(xm)
+    hm = jnp.concatenate([onem, xm, ym, xm * xm, xm * ym, ym * ym,
+                          zerom, zerom], axis=1)
+    return h, hm
+
+
+def _tril(strict: bool):
+    row = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, G_BLK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, G_BLK), 1)
+    return (row > col if strict else row >= col).astype(jnp.float32)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):
+    """Contract dim 0 of a with dim 0 of b: a[k,m], b[k,n] -> [m,n]."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _block_alpha(params_blk, h_feat, count_left):
+    """alpha (clamped+thresholded) and raw exp for one gaussian block.
+
+    params_blk: [16, G] packed rows (see pack_entry_params).
+    Returns (alpha_eff_preT [G, P], alpha_raw [G, P], thresh_ok [G, P]).
+    """
+    f = params_blk[0:8, :]                       # [8, G] quad coeffs (2 pad)
+    power = -0.5 * _dot_t(f, h_feat)             # [G, P]; includes +ln(op)
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, 1), 0)
+    in_range = (g_idx < count_left)
+    alpha_raw = jnp.exp(power)
+    thresh_ok = (alpha_raw >= ALPHA_MIN) & in_range
+    alpha = jnp.where(thresh_ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
+    return alpha, alpha_raw, thresh_ok
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(tile_start, tile_count, params_hbm, out_ref,
+                buf, sem, *, tile_h, tile_w):
+    t = pl.program_id(0)
+    start = tile_start[t]
+    count = tile_count[t]
+    nblk = pl.cdiv(count, G_BLK)
+    h_feat, _ = _pixel_features(tile_h, tile_w)
+    tril_s = _tril(strict=True)
+
+    def get_dma(slot, blk):
+        return pltpu.make_async_copy(
+            params_hbm.at[:, pl.ds((start + blk * G_BLK), G_BLK)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(nblk > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(state):
+        blk, t_plain, t_eff, acc = state
+
+        @pl.when(blk + 1 < nblk)
+        def _():
+            get_dma((blk + 1) % 2, blk + 1).start()
+
+        get_dma(blk % 2, blk).wait()
+        pb = buf[blk % 2]
+        alpha, _, _ = _block_alpha(pb, h_feat, count - blk * G_BLK)
+
+        logt = jnp.log1p(-alpha)                       # [G, P]
+        cum_excl = _dot(tril_s, logt)
+        t_excl = t_plain * jnp.exp(cum_excl)           # plain transmittance
+        active = t_excl > T_MIN
+        w = jnp.where(active, alpha * t_excl, 0.0)
+
+        colors = pb[6:10, :]                           # [4, G] rgb + depth
+        acc = acc + _dot(colors, w)                    # [4, P] MXU
+
+        # effective (frozen) transmittance bookkeeping: the first plain
+        # value <= T_MIN freezes (raster.cu:260-282 semantics)
+        t_incl = t_excl * jnp.exp(logt)
+        crossed = t_incl <= T_MIN
+        first_below = jnp.max(jnp.where(crossed, t_incl, 0.0), axis=0,
+                              keepdims=True)
+        t_end = t_plain * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
+        any_crossed = jnp.any(crossed, axis=0, keepdims=True)
+        t_eff = jnp.where(t_eff > T_MIN,
+                          jnp.where(any_crossed, first_below, t_end), t_eff)
+        return blk + 1, t_end, t_eff, acc
+
+    def cond(state):
+        blk, _, t_eff, _ = state
+        return (blk < nblk) & (jnp.max(t_eff) > T_MIN)
+
+    init = (jnp.int32(0),
+            jnp.ones((1, N_PIX), jnp.float32),
+            jnp.ones((1, N_PIX), jnp.float32),
+            jnp.zeros((4, N_PIX), jnp.float32))
+    _, _, t_eff, acc = jax.lax.while_loop(cond, body, init)
+
+    out_ref[0, 0:4, :] = acc
+    out_ref[0, 4:5, :] = t_eff
+    out_ref[0, 5:8, :] = jnp.zeros((3, N_PIX), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(tile_start, tile_count, params_hbm, dtile_ref, grad_hbm,
+                buf, gbuf, sem, gsem, *, tile_h, tile_w):
+    t = pl.program_id(0)
+    start = tile_start[t]
+    count = tile_count[t]
+    nblk = pl.cdiv(count, G_BLK)
+    h_feat, hm_feat = _pixel_features(tile_h, tile_w)
+    tril_s = _tril(strict=True)
+    tril_i = _tril(strict=False)
+
+    d_col = dtile_ref[0, 0:4, :]                    # [4, P] upstream dC
+    d0 = dtile_ref[0, 5:6, :]                       # [1, P] dC.C_tot+T dT
+
+    def get_dma(slot, blk):
+        return pltpu.make_async_copy(
+            params_hbm.at[:, pl.ds((start + blk * G_BLK), G_BLK)],
+            buf.at[slot], sem.at[slot])
+
+    def put_dma(slot, blk):
+        return pltpu.make_async_copy(
+            gbuf.at[slot],
+            grad_hbm.at[:, pl.ds((start + blk * G_BLK), G_BLK)],
+            gsem.at[slot])
+
+    @pl.when(nblk > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(state):
+        blk, t_plain, prefix = state
+
+        @pl.when(blk + 1 < nblk)
+        def _():
+            get_dma((blk + 1) % 2, blk + 1).start()
+
+        # the gradient buffer slot is recycled every 2 blocks: drain the
+        # in-flight store from block blk-2 before overwriting it
+        @pl.when(blk >= 2)
+        def _():
+            put_dma(blk % 2, blk - 2).wait()
+
+        get_dma(blk % 2, blk).wait()
+        pb = buf[blk % 2]
+        alpha, alpha_raw, thresh_ok = _block_alpha(
+            pb, h_feat, count - blk * G_BLK)
+
+        logt = jnp.log1p(-alpha)
+        cum_excl = _dot(tril_s, logt)
+        t_excl = t_plain * jnp.exp(cum_excl)
+        ok = thresh_ok & (t_excl > T_MIN)
+        w = jnp.where(ok, alpha * t_excl, 0.0)
+
+        colors = pb[6:10, :]                         # [4, G]
+        g1 = _dot_t(colors, d_col)                   # [G, P] (c_i . dC)
+        u = g1 * w
+        p_incl = prefix + _dot(tril_i, u)            # [G, P] inclusive
+
+        d_alpha = jnp.where(
+            ok,
+            g1 * t_excl - (d0 - p_incl) / (1.0 - alpha),
+            0.0)
+        # chain through alpha = exp(power): straight-through past the
+        # 255/256 clamp, exactly like raster.cu:776-778
+        dpw = d_alpha * jnp.where(ok, alpha_raw, 0.0)  # d/d(power)
+        dq = -0.5 * dpw                                # d/d(quadratic)
+
+        # per-entry reductions: moments + stats, one MXU matmul + sums
+        mom = _dot(dq, hm_feat)                        # [G, 8] (2 pad)
+        w_sum = jnp.sum(w, axis=1, keepdims=True)
+        cnt = jnp.sum(ok.astype(jnp.float32), axis=1, keepdims=True)
+        err2 = jnp.sum(dpw * dpw, axis=1, keepdims=True)
+        dlnop = jnp.sum(dpw, axis=1, keepdims=True)
+        side = jnp.concatenate([mom[:, 0:6], dlnop, w_sum, cnt, err2,
+                                jnp.zeros((G_BLK, 2), jnp.float32)], axis=1)
+        side_t = side.T                                # [12, G]
+        d_color = jax.lax.dot_general(                 # [4, G]
+            d_col, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gbuf[blk % 2] = jnp.concatenate(
+            [d_color, side_t], axis=0)                 # [16, G]
+        put_dma(blk % 2, blk).start()
+
+        t_end = t_plain * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
+        prefix_end = prefix + jnp.sum(u, axis=0, keepdims=True)
+        return blk + 1, t_end, prefix_end
+
+    def cond(state):
+        blk = state[0]
+        return blk < nblk
+
+    init = (jnp.int32(0),
+            jnp.ones((1, N_PIX), jnp.float32),
+            jnp.zeros((1, N_PIX), jnp.float32))
+    final = jax.lax.while_loop(cond, body, init)
+    blk_done = final[0]
+
+    @pl.when(blk_done >= 2)
+    def _():
+        put_dma(blk_done % 2, blk_done - 2).wait()
+
+    @pl.when(blk_done >= 1)
+    def _():
+        put_dma((blk_done - 1) % 2, blk_done - 1).wait()
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+class PackedEntries(NamedTuple):
+    params: jax.Array       # [16, E + 128] per-entry packed rows
+    mu_local: jax.Array     # [2, E] tile-local means
+    tile_origin: jax.Array  # [2, E] tile origin in pixels
+
+
+def pack_entry_params(mean_pix, inv_cov, color, opacity, depth,
+                      sorted_point, sorted_tile, entry_valid,
+                      tiles_x: int, tile_h: int, tile_w: int):
+    """Gather per-point attributes to table entries and expand the alpha
+    quadratic around each entry's tile origin (f32-exact local frame).
+
+    Row layout (PAR_ROWS=16):
+      0..5: quadratic coeffs vs [1, x, y, x^2, xy, y^2] with -2 ln(opacity)
+            folded into row 0;  6,7 pad (zero)
+      6..9: r, g, b, depth   (colors overwrite the pad rows 6,7 -- rows are
+            0:f1 1:fx 2:fy 3:fxx 4:fxy 5:fyy, colors live at 6..9)
+      10,11: tile-local mu_x, mu_y;  12,13,14: a, b, c;  15: zero
+    """
+    def g(arr):
+        return jnp.take(arr, sorted_point, axis=-1)
+
+    ox = ((sorted_tile % tiles_x) * tile_w).astype(jnp.float32)
+    oy = ((sorted_tile // tiles_x) * tile_h).astype(jnp.float32)
+    mx = g(mean_pix[0]) - ox
+    my = g(mean_pix[1]) - oy
+    a, b, c = g(inv_cov[0]), g(inv_cov[1]), g(inv_cov[2])
+    op = jnp.maximum(g(opacity), 1e-12)
+    f1 = (a * mx * mx + 2 * b * mx * my + c * my * my
+          - 2.0 * jnp.log(op))
+    f1 = jnp.where(entry_valid, f1, 2.0 * NEG_BIG)
+    fx = -2.0 * (a * mx + b * my)
+    fy = -2.0 * (b * mx + c * my)
+    zeros = jnp.zeros_like(f1)
+    depth_row = zeros if depth is None else g(depth)
+    rows = [f1, fx, fy, a, 2.0 * b, c,
+            g(color[0]), g(color[1]), g(color[2]), depth_row,
+            mx, my, a, b, c, zeros]
+    params = jnp.stack(rows, axis=0)
+    params = jnp.pad(params, ((0, 0), (0, G_BLK)))
+    return PackedEntries(params=params, mu_local=jnp.stack([mx, my]),
+                         tile_origin=jnp.stack([ox, oy]))
+
+
+def moments_to_grads(grads16, mu_local, inv_cov_e, opacity_e):
+    """Per-entry gradient rows -> per-entry parameter gradients.
+
+    grads16: [16, E] backward-kernel output
+       (0..3 d_color, 4..9 moments M00,M10,M01,M20,M11,M02 of dq,
+        10 d_lnop_sum(dpw), 11 w_sum, 12 count, 13 err^2).
+    Returns dict of per-entry grads ready for segment_sum by point.
+    """
+    m00, m10, m01 = grads16[4], grads16[5], grads16[6]
+    m20, m11, m02 = grads16[7], grads16[8], grads16[9]
+    mx, my = mu_local[0], mu_local[1]
+    a, b, c = inv_cov_e[0], inv_cov_e[1], inv_cov_e[2]
+    d_a = mx * mx * m00 - 2 * mx * m10 + m20
+    d_b = 2 * (mx * my * m00 - mx * m01 - my * m10 + m11)
+    d_c = my * my * m00 - 2 * my * m01 + m02
+    d_mx = 2 * a * (mx * m00 - m10) + 2 * b * (my * m00 - m01)
+    d_my = 2 * b * (mx * m00 - m10) + 2 * c * (my * m00 - m01)
+    d_op = grads16[10] / jnp.maximum(opacity_e, 1e-12)
+    return {
+        "d_color": grads16[0:4],
+        "d_invcov": jnp.stack([d_a, d_b, d_c]),
+        "d_mean": jnp.stack([d_mx, d_my]),
+        "d_opacity": d_op,
+        "w_sum": grads16[11],
+        "count": grads16[12],
+        "err2": grads16[13],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
+                                             "tile_w", "interpret"))
+def raster_forward_pallas(params, tile_start, tile_count,
+                          tiles_total: int, tile_h: int, tile_w: int,
+                          interpret: bool = False):
+    """Run the forward kernel. Returns out_tiles [T, 8, 128]."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_total,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, OUT_ROWS, N_PIX), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, PAR_ROWS, G_BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles_total, OUT_ROWS, N_PIX),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, params)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
+                                             "tile_w", "interpret"))
+def raster_backward_pallas(params, dtiles, tile_start, tile_count,
+                           tiles_total: int, tile_h: int, tile_w: int,
+                           interpret: bool = False):
+    """Run the backward kernel. Returns per-entry grads [16, E + 128].
+
+    dtiles: [T, 8, 128] with rows 0..3 = upstream d(color/depth),
+            4 = upstream d(transmittance), 5 = D0' = dC.C_total + T_fin dT.
+    """
+    e_pad = params.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, OUT_ROWS, N_PIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, PAR_ROWS, G_BLK), jnp.float32),
+            pltpu.VMEM((2, GRAD_ROWS, G_BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, e_pad), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, params, dtiles)

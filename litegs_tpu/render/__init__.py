@@ -1,0 +1,162 @@
+"""Render pipeline: cull -> compact -> activate -> project -> bin -> raster.
+
+Functional, jit-stable port of the reference two-phase pipeline
+(litegs/render/__init__.py:11-94).  Every stage is static-shaped: culling
+compacts into a fixed visible capacity with a valid mask (the TPU analogue
+of the reference's GPU-driven ``valid_length`` discipline,
+compact.cu:527-551).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CapacityParams, PipelineParams
+from ..ops import binning as binning_ops
+from ..ops import projection
+from ..ops import raster as raster_ops
+from ..scene import cluster
+from ..scene.gaussians import GaussianParams
+from ..utils import math as um
+from ..utils import sh as sh_utils
+
+
+class CulledGaussians(NamedTuple):
+    """Visible-compacted, activated gaussians (static capacity)."""
+
+    xyz: jax.Array        # [3, Mv]
+    scale: jax.Array      # [3, Mv] activated
+    rot: jax.Array        # [4, Mv] unit quaternions
+    color: jax.Array      # [3, Mv] view-dependent RGB
+    opacity: jax.Array    # [Mv] activated
+    valid: jax.Array      # [Mv] bool
+    chunk_ids: jax.Array  # [Mv/chunk] gathered chunk ids
+    num_visible_chunks: jax.Array  # scalar int32
+    overflow: jax.Array   # scalar bool
+
+
+class RenderAux(NamedTuple):
+    """Intermediates kept for the statistics pass (densify epochs)."""
+
+    table: binning_ops.BinningResult
+    mean_pix: jax.Array
+    inv_cov: jax.Array
+    color_chan: jax.Array
+    opacity: jax.Array
+    tiles_color: jax.Array   # unclamped accumulation [T, C, 128]
+    tiles_trans: jax.Array   # [T, 128]
+
+
+class RenderedView(NamedTuple):
+    img: jax.Array                  # [3, H, W] in [0, 1]
+    transmitance: Optional[jax.Array]  # [1, H, W] or None
+    depth: Optional[jax.Array]      # [1, H, W] or None
+    primitive_visible: jax.Array    # [Mv] bool
+    overflow: jax.Array             # scalar bool
+    aux: RenderAux
+
+
+def render_preprocess(params: GaussianParams,
+                      chunk_origin, chunk_extend,
+                      frustumplane, cam_center,
+                      actived_sh_degree: int,
+                      pp: PipelineParams, caps: CapacityParams
+                      ) -> CulledGaussians:
+    """Frustum-cull chunks, gather visible ones, activate, evaluate SH.
+
+    Mirrors reference render_preprocess (render/__init__.py:11-48) +
+    cull_compact_activate (compact.cu:825-893).
+    """
+    chunk_size = pp.cluster_size
+    vis_chunk_cap = caps.visible_capacity // chunk_size
+
+    visibility = um.frustum_culling_aabb(frustumplane, chunk_origin,
+                                         chunk_extend)
+    chunk_ids, num_vis, overflow = cluster.visible_chunk_ids(
+        visibility, vis_chunk_cap)
+    valid = (jnp.arange(caps.visible_capacity) // chunk_size) < num_vis
+
+    def gather(arr):
+        return cluster.gather_chunks(arr, chunk_ids, chunk_size)
+
+    xyz = gather(params.xyz)
+    scale = jnp.exp(gather(params.scale))
+    rot_raw = gather(params.rot)
+    norm = jnp.sqrt(jnp.sum(rot_raw ** 2, axis=0, keepdims=True))
+    rot = rot_raw / jnp.maximum(norm, 1e-12)
+    # dirty-tail fill: zero opacity past the valid prefix (compact.cu:888)
+    opacity = jnp.where(valid, jax.nn.sigmoid(gather(params.opacity)[0]), 0.0)
+
+    # view-dependent color; directions are non-differentiable in the
+    # reference (render/__init__.py:40-43 no_grad; SH dir-grad code is
+    # commented out in transform.cu:1136-1290)
+    dirs = jax.lax.stop_gradient(xyz) - cam_center[:, None]
+    dirs = dirs / jnp.maximum(
+        jnp.sqrt(jnp.sum(dirs ** 2, axis=0, keepdims=True)), 1e-12)
+    sh_coeff = jnp.concatenate([gather(params.sh_0), gather(params.sh_rest)],
+                               axis=0)
+    color = jnp.maximum(
+        sh_utils.sh_to_rgb(actived_sh_degree, sh_coeff, dirs), 0.0)
+
+    return CulledGaussians(xyz=xyz, scale=scale, rot=rot, color=color,
+                           opacity=opacity, valid=valid, chunk_ids=chunk_ids,
+                           num_visible_chunks=num_vis, overflow=overflow)
+
+
+def render(culled: CulledGaussians, view_matrix, proj_matrix,
+           img_h: int, img_w: int,
+           pp: PipelineParams, caps: CapacityParams,
+           interpret: bool = False) -> RenderedView:
+    """Project visible gaussians and rasterize one view.
+
+    Mirrors reference render (render/__init__.py:50-94): MVP -> transform
+    matrix -> ray-space Jacobian -> cov2d -> inverse -> binning -> raster.
+    """
+    tile_h, tile_w = pp.tile_size
+    tiles_x = math.ceil(img_w / tile_w)
+    tiles_y = math.ceil(img_h / tile_h)
+    tiles_total = tiles_x * tiles_y
+
+    xyz_h = projection.homogeneous(culled.xyz)
+    view_pos, ndc = projection.mvp_transform(xyz_h, view_matrix, proj_matrix)
+    transform_m = projection.create_transform_matrix(culled.scale, culled.rot)
+    jac = projection.rayspace_jacobian(view_pos, proj_matrix, img_h, img_w)
+    cov2d = projection.cov2d_from_transform(jac, view_matrix, transform_m)
+    inv_cov = projection.inverse_2x2_sym(cov2d)
+    view_z = view_pos[2]
+
+    table = binning_ops.build_tile_table(
+        jax.lax.stop_gradient(ndc), jax.lax.stop_gradient(view_z),
+        jax.lax.stop_gradient(inv_cov), jax.lax.stop_gradient(culled.opacity),
+        culled.valid, img_h, img_w, tile_h, tile_w,
+        caps.row_capacity, caps.entry_capacity)
+
+    mean_pix = projection.ndc_to_pixel(ndc, img_h, img_w)
+    channels = [culled.color]
+    if pp.enable_depth:
+        channels.append(view_z[None])
+    color_chan = jnp.concatenate(channels, axis=0)
+
+    tiles_color, tiles_trans = raster_ops.rasterize(
+        mean_pix, inv_cov, color_chan, culled.opacity, table,
+        tiles_total, tiles_x, tile_h, tile_w,
+        backend=pp.raster_backend, interpret=interpret)
+
+    img_all = um.tiles_to_img(tiles_color, img_h, img_w, tile_h, tile_w)
+    img = jnp.clip(img_all[:3], 0.0, 1.0)
+    depth = img_all[3:4] if pp.enable_depth else None
+    trans = None
+    if pp.enable_transmitance:
+        trans = um.tiles_to_img(tiles_trans[:, None], img_h, img_w,
+                                tile_h, tile_w)
+
+    aux = RenderAux(table=table, mean_pix=mean_pix, inv_cov=inv_cov,
+                    color_chan=color_chan, opacity=culled.opacity,
+                    tiles_color=tiles_color, tiles_trans=tiles_trans)
+    return RenderedView(img=img, transmitance=trans, depth=depth,
+                        primitive_visible=table.primitive_visible,
+                        overflow=table.overflow | culled.overflow,
+                        aux=aux)

@@ -1,0 +1,158 @@
+"""Binning correctness: exact ellipse/tile intersection vs dense sampling."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from litegs_tpu.ops import binning
+from util_scenes import random_screen_gaussians
+
+IMG_H, IMG_W = 64, 96
+TILE_H, TILE_W = 8, 16
+
+
+def build(n=60, seed=0, row_cap=4096, ent_cap=8192):
+    rng = np.random.default_rng(seed)
+    mean, inv, color, op, z, ndc = random_screen_gaussians(
+        rng, n, IMG_H, IMG_W)
+    valid = jnp.ones(n, bool)
+    table = binning.build_tile_table(ndc, z, inv, op, valid, IMG_H, IMG_W,
+                                     TILE_H, TILE_W, row_cap, ent_cap)
+    return (mean, inv, color, op, z, ndc), table
+
+
+def test_expand_by_counts():
+    counts = jnp.asarray([0, 3, 1, 0, 2, 0], jnp.int32)
+    owner, rank, valid, total = binning.expand_by_counts(counts, 8)
+    assert int(total) == 6
+    np.testing.assert_array_equal(np.asarray(owner)[:6],
+                                  [1, 1, 1, 2, 4, 4])
+    np.testing.assert_array_equal(np.asarray(rank)[:6], [0, 1, 2, 0, 0, 1])
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  [1, 1, 1, 1, 1, 1, 0, 0])
+
+
+def test_binary_search_right():
+    arr = jnp.asarray([1, 3, 3, 7, 9], jnp.int32)
+    q = jnp.asarray([0, 1, 2, 3, 6, 7, 8, 9, 10], jnp.int32)
+    got = binning.binary_search_right(arr, q)
+    want = np.searchsorted(np.asarray(arr), np.asarray(q), side="right")
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def _rect_bounds(mean, inv, op):
+    """Tile-rect clamp, replicating the reference's float +size-1 idiom
+    (binning.cu:348-355): sub-pixel slivers into a neighboring tile row or
+    column are intentionally dropped."""
+    tiles_x = IMG_W // TILE_W
+    tiles_y = IMG_H // TILE_H
+    a, b, c = np.asarray(inv, np.float64)
+    px, py = np.asarray(mean, np.float64)
+    t = 2 * np.log(255 * np.asarray(op, np.float64))
+    disc = b * b - a * c
+    dx_max = np.sqrt(np.maximum(-t * c / disc, 0))
+    dy_max = np.sqrt(np.maximum(-t * a / disc, 0))
+    rx0 = np.clip(np.floor((px - dx_max) / TILE_W), 0, tiles_x).astype(int)
+    rx1 = np.clip(np.floor((px + dx_max + TILE_W - 1) / TILE_W), 0,
+                  tiles_x).astype(int)
+    ry0 = np.clip(np.floor((py - dy_max) / TILE_H), 0, tiles_y).astype(int)
+    ry1 = np.clip(np.floor((py + dy_max + TILE_H - 1) / TILE_H), 0,
+                  tiles_y).astype(int)
+    return rx0, rx1, ry0, ry1
+
+
+def _sampled_tile_incidence(mean, inv, op, n, samples=9, shrink=1.0,
+                            respect_rect=True):
+    """Dense-sample q over each tile: incidence[point, tile] where
+    min_sampled q <= 2 ln(255 op), optionally restricted to the reference's
+    tile rect."""
+    tiles_x = IMG_W // TILE_W
+    tiles_y = IMG_H // TILE_H
+    a, b, c = np.asarray(inv)
+    px, py = np.asarray(mean)
+    t = 2 * np.log(255 * np.asarray(op)) * shrink
+    inc = np.zeros((n, tiles_y * tiles_x), bool)
+    ys = np.linspace(0, 1, samples)
+    xs = np.linspace(0, 1, samples)
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            gx, gy = np.meshgrid(tx * TILE_W + xs * TILE_W,
+                                 ty * TILE_H + ys * TILE_H)
+            dx = px[:, None] - gx.ravel()[None, :]
+            dy = py[:, None] - gy.ravel()[None, :]
+            q = (a[:, None] * dx ** 2 + 2 * b[:, None] * dx * dy
+                 + c[:, None] * dy ** 2)
+            inc[:, ty * tiles_x + tx] = q.min(axis=1) <= t
+    if respect_rect:
+        rx0, rx1, ry0, ry1 = _rect_bounds(mean, inv, op)
+        col = np.arange(tiles_x)[None, None, :]
+        row = np.arange(tiles_y)[None, :, None]
+        in_rect = ((col >= rx0[:, None, None]) & (col < rx1[:, None, None])
+                   & (row >= ry0[:, None, None]) & (row < ry1[:, None, None]))
+        inc &= in_rect.reshape(n, -1)
+    return inc
+
+
+def test_tile_table_vs_sampling():
+    (mean, inv, color, op, z, ndc), table = build(n=50, seed=3)
+    n = 50
+    tiles_total = (IMG_H // TILE_H) * (IMG_W // TILE_W)
+    # emitted incidence
+    emitted = np.zeros((n, tiles_total), bool)
+    sp = np.asarray(table.sorted_point)
+    st = np.asarray(table.sorted_tile)
+    ev = np.asarray(table.entry_valid)
+    for p, t, v in zip(sp, st, ev):
+        if v:
+            assert not emitted[p, t], "duplicate (point, tile) entry"
+            emitted[p, t] = True
+    # shrink slightly so float32 boundary rounding can't flip the verdict
+    inc = _sampled_tile_incidence(mean, inv, op, n, shrink=1 - 1e-4)
+    # every sampled-hit tile (within the reference tile rect) must be
+    # emitted; sampling underestimates the true intersection, so this
+    # direction is strict
+    missing = inc & ~emitted
+    assert not missing.any(), f"{missing.sum()} sampled tiles not emitted"
+    # emitted tiles must at least intersect a slightly inflated ellipse
+    inc_loose = _sampled_tile_incidence(mean, inv * 0.8, op, n, samples=17,
+                                        respect_rect=False)
+    bogus = emitted & ~inc_loose
+    assert bogus.mean() < 0.05, f"too many spurious tiles: {bogus.sum()}"
+
+
+def test_depth_order_within_tiles():
+    (mean, inv, color, op, z, ndc), table = build(n=80, seed=4)
+    sp = np.asarray(table.sorted_point)
+    st = np.asarray(table.sorted_tile)
+    ev = np.asarray(table.entry_valid)
+    zs = np.asarray(z)
+    for t in np.unique(st[ev]):
+        pts = sp[(st == t) & ev]
+        depths = zs[pts]
+        assert (np.diff(depths) >= 0).all(), f"tile {t} not depth sorted"
+
+
+def test_tile_ranges_consistent():
+    _, table = build(n=80, seed=5)
+    st = np.asarray(table.sorted_tile)
+    ev = np.asarray(table.entry_valid)
+    starts = np.asarray(table.tile_start)
+    counts = np.asarray(table.tile_count)
+    tiles_total = starts.shape[0]
+    for t in range(tiles_total):
+        want = np.flatnonzero((st == t) & ev)
+        assert counts[t] == want.size
+        if want.size:
+            assert starts[t] == want[0]
+    assert int(table.num_entries) == int(ev.sum())
+    assert not bool(table.overflow)
+
+
+def test_overflow_flag():
+    rng = np.random.default_rng(6)
+    mean, inv, color, op, z, ndc = random_screen_gaussians(
+        rng, 64, IMG_H, IMG_W, scale_px=(20.0, 40.0))
+    valid = jnp.ones(64, bool)
+    table = binning.build_tile_table(ndc, z, inv, op, valid, IMG_H, IMG_W,
+                                     TILE_H, TILE_W, 128, 128)
+    assert bool(table.overflow)
