@@ -126,6 +126,10 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
     opacity-gradient first/second moments ("fragment_err",
     raster.cu:779-820, wrapper.py:496-500).
     """
+    if backend == "jnp":
+        # the backward kernel is the only implementation of the fragment
+        # statistics; run it interpreted on non-TPU backends
+        interpret = True
     nchan, m = color.shape
     color4 = color if nchan == 4 else jnp.pad(color, ((0, 4 - nchan), (0, 0)))
     d4 = (d_tiles_color if d_tiles_color.shape[1] == 4 else

@@ -1,3 +1,5 @@
-from . import optimizer
+from . import densify, optimizer, statistics, trainer
+from .trainer import CameraBatch, Trainer, TrainState
 
-__all__ = ["optimizer"]
+__all__ = ["densify", "optimizer", "statistics", "trainer",
+           "CameraBatch", "Trainer", "TrainState"]

@@ -1,0 +1,95 @@
+"""Per-primitive training statistics feeding densification.
+
+Functional pytree replacement for the reference's mutable singleton
+StatisticsHelper (litegs/utils/statistic_helper.py).  Accumulates, per
+primitive, over the iterations of a statistics epoch:
+
+* visible_count   -- #iterations the primitive touched >= 1 tile
+  (statistic_helper.py:82-93; used by the 'threshold' prune mode)
+* fragment_weight -- sum / square-sum / count of per-iteration blend-weight
+  sums (statistic_helper.py:97-156 with raster.cu:289-301 producers; the
+  'weight' prune mode tests sum == 0)
+* fragment_err    -- sum / square-sum / count of per-iteration opacity
+  gradients (producers raster.cu:779-820 + wrapper.py:496-500; densify
+  score uses var * count * sigmoid(opacity)^2)
+
+Scatter from the compacted visible arrays back to the full primitive axis
+is a segment-style index add (the reference uses a dedicated
+gpu_driven_pipeline_sparse_op kernel, compact.cu:1215-1335).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StatsState(NamedTuple):
+    visible_count: jax.Array   # [N] int32
+    weight_sum: jax.Array      # [N]
+    weight_sq_sum: jax.Array   # [N]
+    err_sum: jax.Array         # [N]
+    err_sq_sum: jax.Array      # [N]
+    frag_count: jax.Array      # [N]
+
+
+def init_stats(capacity: int) -> StatsState:
+    def z():
+        # distinct buffers: donated arguments must not alias
+        return jnp.zeros((capacity,), jnp.float32)
+
+    return StatsState(visible_count=jnp.zeros((capacity,), jnp.int32),
+                      weight_sum=z(), weight_sq_sum=z(), err_sum=z(),
+                      err_sq_sum=z(), frag_count=z())
+
+
+def global_indices(chunk_ids, chunk_size: int):
+    """Visible-compacted slot -> global primitive index."""
+    m = chunk_ids.shape[0] * chunk_size
+    slot = jnp.arange(m)
+    return jnp.take(chunk_ids, slot // chunk_size) * chunk_size + (
+        slot % chunk_size)
+
+
+def update_stats(stats: StatsState, chunk_ids, valid_mask,
+                 primitive_visible, raster_stats,
+                 chunk_size: int) -> StatsState:
+    """Accumulate one iteration's statistics.
+
+    Args:
+      chunk_ids: [Mv/chunk] visible chunk ids.
+      valid_mask: [Mv] bool (False past the visible prefix).
+      primitive_visible: [Mv] bool from binning.
+      raster_stats: ops.raster.RasterStats over the compacted axis.
+    """
+    idx = global_indices(chunk_ids, chunk_size)
+    idx = jnp.where(valid_mask, idx, stats.weight_sum.shape[0])  # drop tail
+
+    def add(acc, val):
+        return acc.at[idx].add(val.astype(acc.dtype), mode="drop")
+
+    return StatsState(
+        visible_count=add(stats.visible_count,
+                          primitive_visible & valid_mask),
+        weight_sum=add(stats.weight_sum, raster_stats.weight_sum),
+        weight_sq_sum=add(stats.weight_sq_sum,
+                          raster_stats.weight_sum ** 2),
+        err_sum=add(stats.err_sum, raster_stats.err_sum),
+        err_sq_sum=add(stats.err_sq_sum, raster_stats.err_square_sum),
+        frag_count=add(stats.frag_count, raster_stats.frag_count),
+    )
+
+
+def err_variance(stats: StatsState):
+    """var(fragment_err) per primitive (statistic_helper.py:225-240):
+    E[x^2] - E[x]^2 with the reference's count+1 denominator, clamped >= 0.
+    """
+    denom = stats.frag_count + 1.0
+    mean = stats.err_sum / denom
+    mean_sq = stats.err_sq_sum / denom
+    return jnp.clip(jnp.nan_to_num(mean_sq - mean * mean), 0.0, None)
+
+
+def permute(stats: StatsState, perm) -> StatsState:
+    return StatsState(*[jnp.take(x, perm) for x in stats])

@@ -1,0 +1,334 @@
+"""Training orchestration: the jitted train step and the epoch loop.
+
+Functional redesign of the reference trainer (litegs/training/trainer.py:
+26-227).  One `train_step` covers render_preprocess -> render -> fused
+L1+SSIM loss -> backward -> sparse Adam, compiled once per
+(sh_degree, collect_stats) combination; densification, Morton resort and
+AABB refresh run at epoch boundaries exactly on the reference's schedule.
+
+The reference's GPU-driven feedback buffers (data.py:236-245) have no
+TPU analogue -- capacities are static (config.CapacityParams) and overflow
+counters are reported instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..ops import losses
+from ..ops import raster as raster_ops
+from ..render import render, render_preprocess
+from ..scene import cluster
+from ..scene.gaussians import GaussianParams, create_gaussians, pad_params
+from ..utils import math as um
+from . import densify, statistics
+from .optimizer import AdamState, LearningRates, init_adam, sparse_adam_step
+
+
+class TrainState(NamedTuple):
+    params: GaussianParams
+    adam: AdamState
+    active_count: jax.Array   # scalar int32 (multiple of chunk_size)
+    step: jax.Array           # scalar int32 optimizer steps taken
+
+
+class CameraBatch(NamedTuple):
+    """Per-frame camera tensors (device-preloaded, reference data.py:178)."""
+
+    view: jax.Array      # [F, 4, 4]
+    proj: jax.Array      # [F, 4, 4]
+    planes: jax.Array    # [F, 6, 4]
+    center: jax.Array    # [F, 3]
+    images: jax.Array    # [F, 3, H, W] float32 in [0, 1]
+
+
+def masked_chunk_aabb(params: GaussianParams, active_count,
+                      chunk_size: int):
+    """Per-chunk AABBs with inactive chunks pushed out of every frustum."""
+    import jax.nn
+    scale = jnp.exp(params.scale)
+    norm = jnp.sqrt(jnp.sum(params.rot ** 2, axis=0, keepdims=True))
+    rot = params.rot / jnp.maximum(norm, 1e-12)
+    origin, extend = cluster.chunk_aabb(params.xyz, scale, rot, chunk_size)
+    nchunks = origin.shape[-1]
+    chunk_active = jnp.arange(nchunks) < active_count // chunk_size
+    origin = jnp.where(chunk_active, origin, 1e9)
+    extend = jnp.where(chunk_active, extend, 0.0)
+    return origin, extend
+
+
+def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
+                    pp: cfg.PipelineParams, caps: cfg.CapacityParams,
+                    img_h: int, img_w: int, spatial_lr_scale: float,
+                    sh_degree: int, collect_stats: bool,
+                    interpret: bool = False):
+    """Build the jitted per-iteration step for one static configuration."""
+    import math as pymath
+    tile_h, tile_w = pp.tile_size
+    tiles_x = pymath.ceil(img_w / tile_w)
+    tiles_total = pymath.ceil(img_h / tile_h) * tiles_x
+    chunk_size = pp.cluster_size
+
+    def step(state: TrainState, stats: statistics.StatsState,
+             chunk_origin, chunk_extend, view, proj, planes, center,
+             gt_image):
+        def loss_fn(params):
+            culled = render_preprocess(params, chunk_origin, chunk_extend,
+                                       planes, center, sh_degree, pp, caps)
+            out = render(culled, view, proj, img_h, img_w, pp, caps,
+                         interpret=interpret)
+            loss = losses.fused_l1_ssim_loss(out.img, gt_image,
+                                             op.lambda_dssim)
+            if op.reg_weight > 0.0:
+                loss = loss + jnp.mean(culled.scale ** 2) * op.reg_weight
+            if pp.enable_transmitance:
+                loss = loss + jnp.mean(jnp.abs(1.0 - out.transmitance))
+            return loss, (out, culled)
+
+        (loss, (out, culled)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        nchunks = caps.primitive_capacity // chunk_size
+        chunk_mask = cluster.scatter_chunk_mask(
+            culled.chunk_ids, culled.num_visible_chunks, nchunks)
+        lrs = LearningRates.from_config(op, spatial_lr_scale, state.step)
+        new_params, new_adam = sparse_adam_step(
+            state.params, grads, state.adam, lrs, chunk_mask, chunk_size)
+        new_state = TrainState(params=new_params, adam=new_adam,
+                               active_count=state.active_count,
+                               step=state.step + 1)
+
+        if collect_stats:
+            aux = out.aux
+
+            def tile_loss(tiles_color, tiles_trans):
+                img_all = um.tiles_to_img(tiles_color, img_h, img_w,
+                                          tile_h, tile_w)
+                img = jnp.clip(img_all[:3], 0.0, 1.0)
+                ls = losses.fused_l1_ssim_loss(img, gt_image,
+                                               op.lambda_dssim)
+                if pp.enable_transmitance:
+                    t_img = um.tiles_to_img(tiles_trans[:, None], img_h,
+                                            img_w, tile_h, tile_w)
+                    ls = ls + jnp.mean(jnp.abs(1.0 - t_img))
+                return ls
+
+            d_col, d_trans = jax.grad(tile_loss, argnums=(0, 1))(
+                aux.tiles_color, aux.tiles_trans)
+            rstats = raster_ops.raster_stats(
+                aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
+                aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
+                tiles_total, tiles_x, tile_h, tile_w,
+                backend=pp.raster_backend, interpret=interpret)
+            stats = statistics.update_stats(
+                stats, culled.chunk_ids, culled.valid,
+                out.primitive_visible, rstats, chunk_size)
+
+        metrics = {
+            "loss": loss,
+            "psnr": losses.psnr(out.img, gt_image),
+            "overflow": out.overflow,
+        }
+        return new_state, stats, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_eval_render(pp: cfg.PipelineParams, caps: cfg.CapacityParams,
+                     img_h: int, img_w: int, sh_degree: int,
+                     interpret: bool = False):
+    def eval_render(params, active_count, view, proj, planes, center):
+        chunk_origin, chunk_extend = masked_chunk_aabb(
+            params, active_count, pp.cluster_size)
+        culled = render_preprocess(params, chunk_origin, chunk_extend,
+                                   planes, center, sh_degree, pp, caps)
+        out = render(culled, view, proj, img_h, img_w, pp, caps,
+                     interpret=interpret)
+        return out.img, out.overflow
+
+    return jax.jit(eval_render)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Stateful driver around the functional core (epoch loop, schedules,
+    densification and IO hooks), mirroring litegs.training.start."""
+
+    lp: cfg.ModelParams
+    op: cfg.OptimizationParams
+    pp: cfg.PipelineParams
+    dp: cfg.DensifyParams
+    caps: cfg.CapacityParams
+    data: CameraBatch
+    spatial_lr_scale: float
+    interpret: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        self.img_h = int(self.data.images.shape[2])
+        self.img_w = int(self.data.images.shape[3])
+        self.n_frames = int(self.data.images.shape[0])
+        self.total_epochs = max(int(self.op.iterations) // self.n_frames, 1)
+        self.densify_until = densify.densify_until_epoch(
+            self.dp, self.total_epochs)
+        self._step_cache = {}
+        self._eval_cache = {}
+        self.key = jax.random.PRNGKey(self.seed)
+        self.overflow_count = 0
+
+    # -- setup ---------------------------------------------------------
+
+    def init_state(self, init_xyz, init_color) -> TrainState:
+        params = create_gaussians(init_xyz, init_color, self.lp.sh_degree)
+        n0 = params.capacity
+        chunk = self.pp.cluster_size
+        # pad the live prefix to a chunk multiple by repeating tail points
+        # (reference cluster.cluster_points, cluster.py:16-18)
+        if n0 % chunk:
+            extra = chunk - n0 % chunk
+            params = jax.tree.map(
+                lambda x: jnp.concatenate([x, x[..., -extra:]], axis=-1),
+                params)
+        self.init_points_num = params.capacity
+        params = pad_params(params, self.caps.primitive_capacity)
+        return TrainState(params=params, adam=init_adam(params),
+                          active_count=jnp.int32(self.init_points_num),
+                          step=jnp.int32(0))
+
+    # -- helpers -------------------------------------------------------
+
+    def _sh_degree(self, epoch: int) -> int:
+        return min(epoch // 5, self.lp.sh_degree)
+
+    def is_densify_active(self, epoch: int) -> bool:
+        return (self.dp.densify_from <= epoch < self.densify_until
+                and epoch % self.dp.densification_interval == 0)
+
+    def _get_step(self, sh_degree: int, collect: bool):
+        key = (sh_degree, collect)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                self.lp, self.op, self.pp, self.caps, self.img_h,
+                self.img_w, self.spatial_lr_scale, sh_degree, collect,
+                self.interpret)
+        return self._step_cache[key]
+
+    def _get_eval(self, sh_degree: int):
+        if sh_degree not in self._eval_cache:
+            self._eval_cache[sh_degree] = make_eval_render(
+                self.pp, self.caps, self.img_h, self.img_w, sh_degree,
+                self.interpret)
+        return self._eval_cache[sh_degree]
+
+    # -- main loop -----------------------------------------------------
+
+    def run_epoch(self, state: TrainState, stats, epoch: int,
+                  frame_ids=None):
+        """Train one epoch; returns (state, stats, mean_metrics)."""
+        sh_deg = self._sh_degree(epoch)
+        collect = self.is_densify_active(epoch)
+        step_fn = self._get_step(sh_deg, collect)
+        origin, extend = masked_chunk_aabb(state.params, state.active_count,
+                                           self.pp.cluster_size)
+        if frame_ids is None:
+            self.key, sub = jax.random.split(self.key)
+            frame_ids = np.asarray(
+                jax.random.permutation(sub, self.n_frames))
+        loss_sum, psnr_sum = 0.0, 0.0
+        for i in frame_ids:
+            i = int(i)
+            state, stats, metrics = step_fn(
+                state, stats, origin, extend, self.data.view[i],
+                self.data.proj[i], self.data.planes[i],
+                self.data.center[i], self.data.images[i])
+            loss_sum += float(metrics["loss"])
+            psnr_sum += float(metrics["psnr"])
+            self.overflow_count += int(metrics["overflow"])
+        n = len(frame_ids)
+        return state, stats, {"loss": loss_sum / n, "psnr": psnr_sum / n}
+
+    def epoch_boundary(self, state: TrainState, stats, epoch: int):
+        """Morton resort + AABB refresh + densification on the reference
+        schedule (trainer.py:101-106, 201)."""
+        # densification (end of epoch)
+        self.key, sub = jax.random.split(self.key)
+        params, adam, active, did = densify.densify_step(
+            state.params, state.adam, stats, state.active_count, epoch,
+            sub, self.dp, self.densify_until, self.init_points_num,
+            self.spatial_lr_scale, self.pp.cluster_size)
+        if did:
+            stats = statistics.init_stats(self.caps.primitive_capacity)
+        state = TrainState(params=params, adam=adam, active_count=active,
+                           step=state.step)
+        # Morton resort runs at the START of epoch e when
+        # (e - 1) % interval == 0; doing it here at the end of epoch e-1
+        # is the same schedule.
+        if self.pp.cluster_size > 0 and (
+                epoch % self.dp.densification_interval == 0):
+            params, adam = densify.spatial_refine(state.params, state.adam,
+                                                  state.active_count)
+            state = TrainState(params=params, adam=adam,
+                               active_count=state.active_count,
+                               step=state.step)
+        return state, stats
+
+    def train(self, init_xyz, init_color, test_epochs=(), log_every=1,
+              test_data: Optional[CameraBatch] = None, verbose=True):
+        state = self.init_state(init_xyz, init_color)
+        stats = statistics.init_stats(self.caps.primitive_capacity)
+        history = []
+        t0 = time.time()
+        for epoch in range(self.total_epochs):
+            state, stats, metrics = self.run_epoch(state, stats, epoch)
+            state, stats = self.epoch_boundary(state, stats, epoch)
+            metrics["epoch"] = epoch
+            metrics["active"] = int(state.active_count)
+            history.append(metrics)
+            if verbose and (epoch % log_every == 0
+                            or epoch == self.total_epochs - 1):
+                print(f"[epoch {epoch}] loss={metrics['loss']:.4f} "
+                      f"psnr={metrics['psnr']:.2f} "
+                      f"active={metrics['active']}", flush=True)
+            if epoch in test_epochs and test_data is not None:
+                psnr = self.evaluate(state, test_data, epoch)
+                if verbose:
+                    print(f"[epoch {epoch}] test PSNR {psnr:.2f}",
+                          flush=True)
+        elapsed = time.time() - t0
+        if verbose:
+            print(f"training took {elapsed:.1f}s "
+                  f"({self.total_epochs * self.n_frames} iterations, "
+                  f"overflows={self.overflow_count})", flush=True)
+        return state, stats, history
+
+    def evaluate(self, state: TrainState, data: CameraBatch,
+                 epoch: int) -> float:
+        eval_fn = self._get_eval(self._sh_degree(epoch))
+        psnrs = []
+        for i in range(data.images.shape[0]):
+            img, _ = eval_fn(state.params, state.active_count, data.view[i],
+                             data.proj[i], data.planes[i], data.center[i])
+            psnrs.append(float(losses.psnr(img, data.images[i])))
+        return float(np.mean(psnrs))
+
+
+def camera_batch_from_frames(cam, frames, images) -> CameraBatch:
+    """Host-side camera tensors from data.camera objects."""
+    proj = cam.proj_matrix()
+    views = np.stack([f.view_matrix() for f in frames])
+    planes = np.stack([f.frustumplane(proj) for f in frames])
+    centers = np.stack([f.camera_center() for f in frames])
+    return CameraBatch(
+        view=jnp.asarray(views, jnp.float32),
+        proj=jnp.asarray(np.broadcast_to(proj, views.shape), jnp.float32),
+        planes=jnp.asarray(planes, jnp.float32),
+        center=jnp.asarray(centers, jnp.float32),
+        images=jnp.asarray(images, jnp.float32),
+    )

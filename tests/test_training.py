@@ -1,0 +1,120 @@
+"""End-to-end training on a synthetic closed-loop task: PSNR must improve,
+densification must grow/prune at chunk granularity, sparse Adam must leave
+invisible chunks untouched."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from litegs_tpu import config as cfg
+from litegs_tpu.data import synthetic_train
+from litegs_tpu.scene.gaussians import GaussianParams
+from litegs_tpu.training import densify, statistics
+from litegs_tpu.training.optimizer import (AdamState, LearningRates,
+                                           init_adam, sparse_adam_step)
+from litegs_tpu.training.trainer import Trainer
+
+
+def small_setup(iterations=64, target=1024, densify_from=1, interval=2,
+                n_points=500, n_frames=8):
+    data, init_xyz, init_color = synthetic_train.make_task(
+        n_points=n_points, n_frames=n_frames, img_h=48, img_w=64,
+        sh_degree=1, seed=3)
+    lp = cfg.ModelParams(sh_degree=1)
+    op = cfg.OptimizationParams(iterations=iterations,
+                                position_lr_max_steps=iterations)
+    pp = cfg.PipelineParams(raster_backend="jnp")
+    dp = cfg.DensifyParams(densification_interval=interval,
+                           densify_from=densify_from, densify_until=6,
+                           opacity_reset_interval=100,
+                           target_primitives=target)
+    caps = cfg.CapacityParams(primitive_capacity=2048,
+                              visible_capacity=2048,
+                              row_capacity=8192, entry_capacity=32768)
+    trainer = Trainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps, data=data,
+                      spatial_lr_scale=4.4)
+    return trainer, init_xyz, init_color
+
+
+def test_training_improves_psnr():
+    trainer, init_xyz, init_color = small_setup(iterations=96)
+    state = trainer.init_state(init_xyz, init_color)
+    stats = statistics.init_stats(trainer.caps.primitive_capacity)
+    state0 = state
+    state, stats, m0 = trainer.run_epoch(state0, stats, epoch=0,
+                                         frame_ids=[0])
+    first_psnr = m0["psnr"]
+    state, stats, hist = trainer.train(init_xyz, init_color, verbose=False)
+    final_psnr = hist[-1]["psnr"]
+    assert final_psnr > first_psnr + 2.0, (first_psnr, final_psnr)
+    assert final_psnr > 22.0, final_psnr
+    assert trainer.overflow_count == 0
+
+
+def test_densify_grows_at_chunk_granularity():
+    trainer, init_xyz, init_color = small_setup(
+        iterations=80, target=1536, densify_from=1, interval=1)
+    state, stats, hist = trainer.train(init_xyz, init_color, verbose=False)
+    actives = [h["active"] for h in hist]
+    assert all(a % 128 == 0 for a in actives), actives
+    assert actives[-1] > actives[0], actives
+    assert actives[-1] <= trainer.caps.primitive_capacity
+
+
+def test_sparse_adam_leaves_invisible_chunks():
+    n = 512
+    chunk = 128
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    params = GaussianParams(xyz=mk(3, n), scale=mk(3, n), rot=mk(4, n),
+                            sh_0=mk(1, 3, n), sh_rest=mk(3, 3, n),
+                            opacity=mk(1, n))
+    grads = jax.tree.map(lambda x: jnp.ones_like(x), params)
+    adam = init_adam(params)
+    lrs = LearningRates(xyz=jnp.float32(0.1), scale=0.1, rot=0.1, sh_0=0.1,
+                        sh_rest=0.1, opacity=0.1)
+    mask = jnp.asarray([True, False, True, False])
+    new_params, new_adam = sparse_adam_step(params, grads, adam, lrs, mask,
+                                            chunk)
+    for leaf_old, leaf_new in zip(jax.tree.leaves(params),
+                                  jax.tree.leaves(new_params)):
+        vis = np.asarray(leaf_new)[..., :128]
+        invis = np.asarray(leaf_new)[..., 128:256]
+        np.testing.assert_array_equal(invis, np.asarray(leaf_old)[..., 128:256])
+        assert not np.allclose(vis, np.asarray(leaf_old)[..., :128])
+    # no bias correction: first visible step = -lr * m1 / (sqrt(v1) + eps)
+    m1 = 0.1 * 1.0
+    v1 = 0.001 * 1.0
+    expected = -0.1 * m1 / (np.sqrt(v1) + 1e-15)
+    np.testing.assert_allclose(
+        np.asarray(new_params.xyz[:, 0] - params.xyz[:, 0]), expected,
+        rtol=1e-5)
+
+
+def test_prune_compacts_and_appends():
+    n_cap = 512
+    chunk = 128
+    rng = np.random.default_rng(1)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    params = GaussianParams(xyz=mk(3, n_cap), scale=mk(3, n_cap) - 2,
+                            rot=mk(4, n_cap), sh_0=mk(1, 3, n_cap),
+                            sh_rest=mk(3, 3, n_cap), opacity=mk(1, n_cap))
+    adam = init_adam(params)
+    stats = statistics.init_stats(n_cap)
+    # mark the first 128 primitives as never-blended -> pruned
+    w = jnp.ones(n_cap).at[:128].set(0.0)
+    stats = stats._replace(weight_sum=w,
+                           err_sq_sum=jnp.ones(n_cap),
+                           frag_count=jnp.ones(n_cap) * 5)
+    dp = cfg.DensifyParams(target_primitives=384, densify_from=0,
+                           densify_until=10, densification_interval=1,
+                           opacity_reset_interval=100)
+    key = jax.random.PRNGKey(0)
+    p2, a2, count, did = densify.densify_step(
+        params, adam, stats, jnp.int32(384), 1, key, dp, 10, 256, 1.0,
+        chunk)
+    assert did
+    assert int(count) % 128 == 0
+    # pruned block compacted away: survivors [128:384) moved to the front
+    np.testing.assert_allclose(np.asarray(p2.xyz)[:, :128],
+                               np.asarray(params.xyz)[:, 128:256])
