@@ -1,0 +1,170 @@
+"""Multi-chip scale-out: device mesh + data-parallel train step.
+
+The reference is strictly single-GPU (SURVEY.md §2.5: no NCCL/MPI/
+torch.distributed anywhere); its per-op batch dimension ``B`` (always 1 in
+the trainer, litegs/training/trainer.py:51) is the natural seam for TPU
+scale-out.  Here that seam becomes a named mesh axis:
+
+* **cameras are sharded** over the ``data`` axis — each chip renders its own
+  view(s) per step (the reference's ``B`` dimension, e.g. raster.cu:182);
+* **gaussian parameters are replicated** — every chip holds the full model;
+* **gradients are combined with ``psum`` over ICI** inside the jitted step,
+  so XLA overlaps the all-reduce with the tail of the backward pass;
+* the sparse-Adam visibility mask is the **union** (``pmax``) of each chip's
+  visible chunks, preserving the reference semantics "update what was
+  rendered this step" (litegs/training/optimizer.py:9-44);
+* densification statistics are local scatter-adds ``psum``-merged into the
+  replicated accumulator (statistic_helper.py:97-156 equivalent).
+
+Semantics note: one parallel step applies ONE optimizer update from the
+mean gradient of D views, where the reference applies D sequential updates.
+This is standard large-batch data parallelism; lr scaling is left to the
+caller.  All collectives ride ICI; nothing here touches DCN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import config as cfg
+from ..ops import losses
+from ..ops import raster as raster_ops
+from ..render import render, render_preprocess
+from ..scene import cluster
+from ..training import statistics
+from ..training.optimizer import LearningRates, sparse_adam_step
+from ..training.trainer import TrainState
+from ..utils import math as um
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` local devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    import numpy as np
+    return Mesh(np.asarray(devs[:n_devices]), (axis_name,))
+
+
+def shard_camera_batch(mesh: Mesh, *arrays):
+    """Place camera tensors with their leading (frame) axis sharded."""
+    out = []
+    for a in arrays:
+        spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
+                             pp: cfg.PipelineParams, caps: cfg.CapacityParams,
+                             img_h: int, img_w: int, spatial_lr_scale: float,
+                             sh_degree: int, collect_stats: bool,
+                             mesh: Mesh, interpret: bool = False):
+    """Build the jitted multi-chip train step.
+
+    The returned function takes ``(state, stats, chunk_origin, chunk_extend,
+    view[D,4,4], proj[D,4,4], planes[D,6,4], center[D,3], gt[D,3,H,W])``
+    where D = mesh size, with camera tensors sharded over ``data`` and
+    everything else replicated; it returns (state, stats, metrics) with the
+    same replicated placement.
+    """
+    import math as pymath
+    tile_h, tile_w = pp.tile_size
+    tiles_x = pymath.ceil(img_w / tile_w)
+    tiles_total = pymath.ceil(img_h / tile_h) * tiles_x
+    chunk_size = pp.cluster_size
+    nchunks = caps.primitive_capacity // chunk_size
+
+    def shard_fn(state: TrainState, stats, chunk_origin, chunk_extend,
+                 view, proj, planes, center, gt_image):
+        # local leading axis is 1 (one camera per chip)
+        view, proj = view[0], proj[0]
+        planes, center, gt_image = planes[0], center[0], gt_image[0]
+
+        def loss_fn(params):
+            culled = render_preprocess(params, chunk_origin, chunk_extend,
+                                       planes, center, sh_degree, pp, caps)
+            out = render(culled, view, proj, img_h, img_w, pp, caps,
+                         interpret=interpret)
+            loss = losses.fused_l1_ssim_loss(out.img, gt_image,
+                                             op.lambda_dssim)
+            if op.reg_weight > 0.0:
+                loss = loss + jnp.mean(culled.scale ** 2) * op.reg_weight
+            if pp.enable_transmitance:
+                loss = loss + jnp.mean(jnp.abs(1.0 - out.transmitance))
+            return loss, (out, culled)
+
+        (loss, (out, culled)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # gradient all-reduce over ICI (replicated-param data parallelism)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+
+        chunk_mask = cluster.scatter_chunk_mask(
+            culled.chunk_ids, culled.num_visible_chunks, nchunks)
+        chunk_mask = jax.lax.pmax(chunk_mask.astype(jnp.int32),
+                                  DATA_AXIS) > 0
+
+        lrs = LearningRates.from_config(op, spatial_lr_scale, state.step)
+        new_params, new_adam = sparse_adam_step(
+            state.params, grads, state.adam, lrs, chunk_mask, chunk_size)
+        new_state = TrainState(params=new_params, adam=new_adam,
+                               active_count=state.active_count,
+                               step=state.step + 1)
+
+        if collect_stats:
+            aux = out.aux
+
+            def tile_loss(tiles_color, tiles_trans):
+                img_all = um.tiles_to_img(tiles_color, img_h, img_w,
+                                          tile_h, tile_w)
+                img = jnp.clip(img_all[:3], 0.0, 1.0)
+                ls = losses.fused_l1_ssim_loss(img, gt_image, op.lambda_dssim)
+                if pp.enable_transmitance:
+                    t_img = um.tiles_to_img(tiles_trans[:, None], img_h,
+                                            img_w, tile_h, tile_w)
+                    ls = ls + jnp.mean(jnp.abs(1.0 - t_img))
+                return ls
+
+            d_col, d_trans = jax.grad(tile_loss, argnums=(0, 1))(
+                aux.tiles_color, aux.tiles_trans)
+            rstats = raster_ops.raster_stats(
+                aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
+                aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
+                tiles_total, tiles_x, tile_h, tile_w,
+                backend=pp.raster_backend, interpret=interpret)
+            zero = statistics.init_stats(caps.primitive_capacity)
+            delta = statistics.update_stats(
+                zero, culled.chunk_ids, culled.valid,
+                out.primitive_visible, rstats, chunk_size)
+            delta = jax.lax.psum(delta, DATA_AXIS)
+            stats = jax.tree.map(jnp.add, stats, delta)
+
+        psnr = jax.lax.pmean(losses.psnr(out.img, gt_image), DATA_AXIS)
+        overflow = jax.lax.pmax(out.overflow.astype(jnp.int32),
+                                DATA_AXIS) > 0
+        metrics = {"loss": loss, "psnr": psnr, "overflow": overflow}
+        return new_state, stats, metrics
+
+    rep = P()
+    cam = P(DATA_AXIS)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, cam, cam, cam, cam, cam),
+        out_specs=(rep, rep, rep),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))
