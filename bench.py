@@ -1,0 +1,123 @@
+"""Headline benchmark: train iterations/second at garden scale on one chip.
+
+Mirrors the reference's aggressive protocol scale (BASELINE.md: MipNeRF-360
+garden, 1M primitives, images_4 ~1.1 Mpix, 10k iters in 53 s on an RTX 3090
+=> ~189 train iters/s).  No image datasets ship with this environment, so
+the workload is a procedurally-generated scene with the same compute shape:
+1M gaussians filling the frustum, ~1.1 Mpix frames, full forward + backward
++ sparse-Adam step, jit-compiled, steady state (no stats collection, the
+reference's non-densify-epoch hot loop, litegs/training/trainer.py:111-163).
+
+Prints ONE JSON line:
+  {"metric": "train_iters_per_sec", "value": N, "unit": "iters/s",
+   "vs_baseline": N / 189.0}
+
+Env knobs: BENCH_POINTS, BENCH_H, BENCH_W, BENCH_ITERS, BENCH_BACKEND.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 189.0  # RTX 3090, garden @1M prims (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_points = int(os.environ.get("BENCH_POINTS",
+                                  1_000_000 if on_tpu else 20_000))
+    img_h = int(os.environ.get("BENCH_H", 840 if on_tpu else 128))
+    img_w = int(os.environ.get("BENCH_W", 1296 if on_tpu else 256))
+    n_iters = int(os.environ.get("BENCH_ITERS", 30 if on_tpu else 3))
+    backend = os.environ.get("BENCH_BACKEND",
+                             "pallas" if on_tpu else "jnp")
+
+    from litegs_tpu import config as cfg
+    from litegs_tpu.data import synthetic
+    from litegs_tpu.scene import create_gaussians, pad_params
+    from litegs_tpu.training import statistics
+    from litegs_tpu.training.optimizer import init_adam
+    from litegs_tpu.training.trainer import (TrainState,
+                                             camera_batch_from_frames,
+                                             make_train_step,
+                                             masked_chunk_aabb)
+
+    sh_degree = 3
+    n_frames = 4
+    cam, frames = synthetic.make_cameras(n_frames, img_h, img_w, seed=0)
+    xyz, rgb = synthetic.make_gaussian_cloud(n_points, seed=0)
+    params = create_gaussians(xyz, rgb, sh_degree)
+    # shrink init splats to garden-like screen footprint (~3-5 table
+    # entries per visible primitive, the reference's regime)
+    params = params._replace(scale=params.scale - 0.7)
+    params = pad_params(params, cfg.round_up(n_points, 128 * 128))
+    caps = cfg.CapacityParams(
+        primitive_capacity=params.capacity,
+        visible_capacity=cfg.round_up(n_points, 128),
+        row_capacity=cfg.round_up(n_points * 4, 128),
+        entry_capacity=cfg.round_up(n_points * 8, 128))
+    pp = cfg.PipelineParams(raster_backend=backend)
+    lp = cfg.ModelParams(sh_degree=sh_degree)
+    op_ = cfg.OptimizationParams()
+
+    gt = np.random.default_rng(1).random(
+        (n_frames, 3, img_h, img_w)).astype(np.float32)
+    batch = camera_batch_from_frames(cam, frames, gt)
+
+    state = TrainState(params=params, adam=init_adam(params),
+                       active_count=jnp.int32(n_points),
+                       step=jnp.int32(0))
+    stats = statistics.init_stats(caps.primitive_capacity)
+    origin, extend = masked_chunk_aabb(state.params, state.active_count,
+                                       pp.cluster_size)
+    step_fn = make_train_step(lp, op_, pp, caps, img_h, img_w,
+                              spatial_lr_scale=1.0, sh_degree=sh_degree,
+                              collect_stats=False,
+                              interpret=(backend == "pallas" and not on_tpu))
+
+    def run(i):
+        nonlocal state, stats
+        f = i % n_frames
+        state, stats, metrics = step_fn(
+            state, stats, origin, extend, batch.view[f], batch.proj[f],
+            batch.planes[f], batch.center[f], batch.images[f])
+        return metrics
+
+    # warmup / compile
+    m = run(0)
+    jax.block_until_ready(state)
+    overflow = bool(m["overflow"])
+    for i in range(1, 3):
+        m = run(i)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        m = run(i)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    iters_per_sec = n_iters / elapsed
+    result = {
+        "metric": "train_iters_per_sec",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 4),
+    }
+    # diagnostics on stderr only; stdout is the single JSON line
+    print(f"[bench] backend={jax.default_backend()} raster={backend} "
+          f"points={n_points} img={img_h}x{img_w} iters={n_iters} "
+          f"elapsed={elapsed:.2f}s overflow={overflow} "
+          f"loss={float(m['loss']):.4f}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,46 +44,40 @@ class BinningResult(NamedTuple):
     overflow: jax.Array        # scalar bool: any capacity exceeded
 
 
-def binary_search_right(sorted_arr, queries):
-    """Vectorized branchless binary search (side='right').
-
-    Returns, for each query q, the count of elements <= q in sorted_arr.
-    O(log n) gather steps; avoids jnp.searchsorted's sequential 'scan'
-    lowering on TPU.
-    """
-    n = sorted_arr.shape[0]
-    steps = max(1, math.ceil(math.log2(n + 1)))
-    lo = jnp.zeros_like(queries, dtype=jnp.int32)
-    hi = jnp.full_like(queries, n, dtype=jnp.int32)
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        mid_val = jnp.take(sorted_arr, jnp.clip(mid, 0, n - 1))
-        go_right = (mid_val <= queries) & (lo < hi)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right | (lo >= hi), hi, mid)
-    return lo
-
-
 def expand_by_counts(counts, capacity: int):
     """Decode flat slots of a variable-length concatenation.
 
     Given per-item counts, slot e of the concatenation belongs to item
     ``owner[e]`` at ``rank[e]``.  This replaces the reference's prefix-sum +
-    scatter emission (binning.cu:33-110) with pure gathers.
+    scatter emission (binning.cu:33-110) with a boundary scatter + two
+    cumulative-max scans -- the only primitives that are fast on TPU for
+    this (binary-search gather loops lower ~100x slower through XLA).
 
     Returns (owner [cap] int32, rank [cap] int32, valid [cap] bool,
     total scalar int32).
     """
     m = counts.shape[0]
-    cum = jnp.cumsum(counts.astype(jnp.int32))
+    # fence: keep upstream producer chains out of the cumsum/scatter (XLA
+    # would otherwise re-evaluate them once per scan pass)
+    counts = jax.lax.optimization_barrier(counts.astype(jnp.int32))
+    cum = jnp.cumsum(counts)
     total = cum[-1]
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    owner = binary_search_right(cum, slots)          # first i with cum[i] > e
-    owner = jnp.minimum(owner, m - 1)
     starts = cum - counts
-    rank = slots - jnp.take(starts, owner)
+    # scatter each non-empty item's index & start at its first slot; items
+    # with count > 0 have strictly increasing starts (>= 1 slot each), so
+    # indices are unique; empty items are routed out of bounds and dropped
+    sidx = jnp.where(counts > 0, starts, capacity)
+    item_ids = jnp.arange(m, dtype=jnp.int32)
+    owner = jax.lax.cummax(
+        jnp.zeros((capacity,), jnp.int32).at[sidx].max(
+            item_ids, mode="drop", unique_indices=True))
+    start_of = jax.lax.cummax(
+        jnp.zeros((capacity,), jnp.int32).at[sidx].max(
+            starts, mode="drop", unique_indices=True))
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    rank = slots - start_of
     valid = slots < total
-    return owner, rank.astype(jnp.int32), valid, total
+    return owner, rank, valid, total
 
 
 def tile_counts_for_rows(px, py, a, b, c, t, disc, row, tile_h, tile_w,
@@ -196,6 +190,11 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         row_y.astype(jnp.float32), float(tile_h), float(tile_w),
         g(rect_min_x), g(rect_max_x))
     row_tiles = jnp.where(row_valid, row_tiles, 0)
+    # Materialization fence: without it XLA fuses the whole gather+sqrt
+    # chain above INTO the cumsum/scatter consumers below and re-evaluates
+    # it per scan pass (~20x recompute; measured 5 ms -> 100 ms).
+    row_y, min_tile_x, row_tiles, row_pt = jax.lax.optimization_barrier(
+        (row_y, min_tile_x, row_tiles, row_pt))
 
     # ---- expansion 2: (point, row) -> (point, row, tile) = table entry ----
     ent_owner, ent_rank, ent_valid, total_entries = expand_by_counts(
@@ -203,6 +202,8 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     ent_tile = (jnp.take(row_y, ent_owner) * tiles_x
                 + jnp.take(min_tile_x, ent_owner) + ent_rank)
     ent_pt = jnp.take(row_pt, ent_owner)
+    ent_tile, ent_pt, ent_valid = jax.lax.optimization_barrier(
+        (ent_tile, ent_pt, ent_valid))
 
     # ---- stable sort by tile: (tile, depth) order ----
     tile_key = jnp.where(ent_valid, ent_tile, tiles_total).astype(jnp.int32)
@@ -210,10 +211,10 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
                                                     is_stable=True)
 
     # ---- per-tile ranges (binning.cu:228-265 tile_range_kernel) ----
-    tile_ids = jnp.arange(tiles_total, dtype=jnp.int32)
-    tile_end = binary_search_right(sorted_key, tile_ids)
-    tile_start = binary_search_right(sorted_key, tile_ids - 1)
-    tile_count = (tile_end - tile_start).astype(jnp.int32)
+    tile_count = jax.ops.segment_sum(
+        jnp.ones_like(tile_key), tile_key,
+        num_segments=tiles_total + 1)[:tiles_total].astype(jnp.int32)
+    tile_start = jnp.cumsum(tile_count) - tile_count
 
     # ---- 128-align each tile's segment ----
     # The Pallas rasterizer DMAs gaussian blocks of 128 per tile; aligning
@@ -222,20 +223,19 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     # a neighboring tile's entries.  Pad slots carry entry_valid=False.
     blk = 128
     blocks = (tile_count + blk - 1) // blk
-    aligned_cum = jnp.cumsum(blocks * blk).astype(jnp.int32)
-    aligned_start = aligned_cum - blocks * blk
-    total_aligned = aligned_cum[-1]
-    slots = jnp.arange(entry_capacity, dtype=jnp.int32)
-    owner_tile = binary_search_right(aligned_cum, slots)
-    owner_tile = jnp.minimum(owner_tile, tiles_total - 1)
-    rank = slots - jnp.take(aligned_start, owner_tile)
+    owner_tile, rank, in_cap, total_aligned = expand_by_counts(
+        blocks * blk, entry_capacity)
     src = jnp.take(tile_start, owner_tile) + rank
-    in_seg = (rank < jnp.take(tile_count, owner_tile)) & (
-        slots < total_aligned)
+    in_seg = (rank < jnp.take(tile_count, owner_tile)) & in_cap
     point_al = jnp.where(
         in_seg, jnp.take(sorted_point, jnp.minimum(src, entry_capacity - 1)),
         0)
-    tile_al = jnp.where(slots < total_aligned, owner_tile, tiles_total)
+    tile_al = jnp.where(in_cap, owner_tile, tiles_total)
+    # Aligned per-tile starts for the kernels, clamped so block DMAs stay in
+    # bounds even when the table overflows (the overflow flag reports it).
+    aligned_start = jnp.cumsum(blocks * blk) - blocks * blk
+    aligned_start = jnp.minimum(aligned_start, entry_capacity)
+    tile_count = jnp.minimum(tile_count, entry_capacity - aligned_start)
 
     # per-point visibility = touches >= 1 tile (get_allocate_size != 0)
     ent_counts = jax.ops.segment_sum(

@@ -124,8 +124,11 @@ def _fwd_kernel(tile_start, tile_count, params_hbm, out_ref,
     tril_s = _tril(strict=True)
 
     def get_dma(slot, blk):
+        # tile_start is 128-aligned by construction (binning aligns every
+        # tile's segment); the hint lets Mosaic prove the slice is tiled
+        off = pl.multiple_of(start + blk * G_BLK, G_BLK)
         return pltpu.make_async_copy(
-            params_hbm.at[:, pl.ds((start + blk * G_BLK), G_BLK)],
+            params_hbm.at[:, pl.ds(off, G_BLK)],
             buf.at[slot], sem.at[slot])
 
     @pl.when(nblk > 0)
@@ -197,14 +200,16 @@ def _bwd_kernel(tile_start, tile_count, params_hbm, dtile_ref, grad_hbm,
     d0 = dtile_ref[0, 5:6, :]                       # [1, P] dC.C_tot+T dT
 
     def get_dma(slot, blk):
+        off = pl.multiple_of(start + blk * G_BLK, G_BLK)
         return pltpu.make_async_copy(
-            params_hbm.at[:, pl.ds((start + blk * G_BLK), G_BLK)],
+            params_hbm.at[:, pl.ds(off, G_BLK)],
             buf.at[slot], sem.at[slot])
 
     def put_dma(slot, blk):
+        off = pl.multiple_of(start + blk * G_BLK, G_BLK)
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            grad_hbm.at[:, pl.ds((start + blk * G_BLK), G_BLK)],
+            grad_hbm.at[:, pl.ds(off, G_BLK)],
             gsem.at[slot])
 
     @pl.when(nblk > 0)

@@ -32,12 +32,19 @@ def test_expand_by_counts():
                                   [1, 1, 1, 1, 1, 1, 0, 0])
 
 
-def test_binary_search_right():
-    arr = jnp.asarray([1, 3, 3, 7, 9], jnp.int32)
-    q = jnp.asarray([0, 1, 2, 3, 6, 7, 8, 9, 10], jnp.int32)
-    got = binning.binary_search_right(arr, q)
-    want = np.searchsorted(np.asarray(arr), np.asarray(q), side="right")
-    np.testing.assert_array_equal(np.asarray(got), want)
+def test_expand_by_counts_random():
+    rng = np.random.default_rng(0)
+    counts = rng.integers(0, 5, 50).astype(np.int32)
+    cap = int(counts.sum()) + 7
+    owner, rank, valid, total = binning.expand_by_counts(
+        jnp.asarray(counts), cap)
+    want_owner = np.repeat(np.arange(50), counts)
+    want_rank = np.concatenate([np.arange(c) for c in counts])
+    assert int(total) == counts.sum()
+    np.testing.assert_array_equal(np.asarray(owner)[:total], want_owner)
+    np.testing.assert_array_equal(np.asarray(rank)[:total], want_rank)
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  np.arange(cap) < counts.sum())
 
 
 def _rect_bounds(mean, inv, op):
