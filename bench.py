@@ -77,10 +77,32 @@ def main():
     stats = statistics.init_stats(caps.primitive_capacity)
     origin, extend = masked_chunk_aabb(state.params, state.active_count,
                                        pp.cluster_size)
+    interp = backend == "pallas" and not on_tpu
+
+    # cheap sizing pass (projection + reductions, no table construction),
+    # then compile the step once at the right capacity bucket -- the
+    # trainer's feedback loop compressed into a single probe
+    from litegs_tpu.render import estimate_view_sizes, render_preprocess
+
+    @jax.jit
+    def size_probe(params, planes, center, view, proj):
+        culled = render_preprocess(params, origin, extend, planes, center,
+                                   sh_degree, pp, caps)
+        return estimate_view_sizes(culled, view, proj, img_h, img_w, pp)
+
+    sizes_max = np.zeros((3,), np.int64)
+    for f in range(n_frames):
+        s = size_probe(state.params, batch.planes[f], batch.center[f],
+                       batch.view[f], batch.proj[f])
+        sizes_max = np.maximum(sizes_max, np.asarray(s))
+    caps = cfg.bucketed_capacity(caps.primitive_capacity, *map(int,
+                                                               sizes_max))
+    print(f"[bench] observed sizes={sizes_max.tolist()} -> caps "
+          f"vis={caps.visible_capacity} rows={caps.row_capacity} "
+          f"entries={caps.entry_capacity}", file=sys.stderr)
     step_fn = make_train_step(lp, op_, pp, caps, img_h, img_w,
                               spatial_lr_scale=1.0, sh_degree=sh_degree,
-                              collect_stats=False,
-                              interpret=(backend == "pallas" and not on_tpu))
+                              collect_stats=False, interpret=interp)
 
     def run(i):
         nonlocal state, stats

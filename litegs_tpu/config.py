@@ -48,6 +48,10 @@ class PipelineParams:
     # 'pallas' = hand-written TPU kernels; 'jnp' = pure-jnp reference path
     # (the analogue of the reference's call_script path, wrapper.py:21-164).
     raster_backend: str = "pallas"
+    # TPU-specific: per-epoch capacity bucketing from observed sizes (the
+    # static-shape analogue of the reference's GPU-driven feedback buffers,
+    # data.py:236-245). Off -> always use the configured CapacityParams.
+    adaptive_capacity: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +138,34 @@ def auto_capacity(target_primitives: int,
         visible_capacity=m_cap,
         row_capacity=round_up(int(m_cap * rows_per_visible), 128),
         entry_capacity=round_up(int(m_cap * entries_per_visible), 128),
+    )
+
+
+def bucket_size(x: int, margin: float = 1.3, step: float = 1.5,
+                align: int = 128) -> int:
+    """Quantize a capacity to a geometric bucket grid.
+
+    The TPU analogue of the reference's feedback over-allocation
+    (compact.cu:535 x1.2, binning.cu:152 x1.5): observed size * margin,
+    rounded UP to the bucket grid 128 * step^k so nearby sizes share one
+    compiled program.
+    """
+    import math
+    need = max(int(x * margin), align)
+    k = math.ceil(math.log(need / align) / math.log(step))
+    return round_up(int(align * step ** max(k, 0)) + 1, align)
+
+
+def bucketed_capacity(primitive_capacity: int, observed_visible: int,
+                      observed_rows: int, observed_entries: int,
+                      margin: float = 1.3) -> CapacityParams:
+    """Derive bucketed capacities from observed per-view maxima."""
+    return CapacityParams(
+        primitive_capacity=primitive_capacity,
+        visible_capacity=min(bucket_size(observed_visible, margin),
+                             round_up(primitive_capacity, 128)),
+        row_capacity=bucket_size(observed_rows, margin),
+        entry_capacity=bucket_size(observed_entries, margin),
     )
 
 

@@ -40,6 +40,8 @@ class BinningResult(NamedTuple):
     tile_start: jax.Array      # [T] int32 start offset per tile
     tile_count: jax.Array      # [T] int32 entries per tile
     num_entries: jax.Array     # scalar int32 (true, pre-clamp)
+    num_aligned: jax.Array     # scalar int32 entries + per-tile 128-pad
+    num_rows: jax.Array        # scalar int32 (true (point,tile-row) pairs)
     primitive_visible: jax.Array  # [M] bool: point touches >= 1 tile
     overflow: jax.Array        # scalar bool: any capacity exceeded
 
@@ -116,6 +118,50 @@ def tile_counts_for_rows(px, py, a, b, c, t, disc, row, tile_h, tile_w,
                         rect_min_x, rect_max_x)
     count = jnp.maximum(max_tile - min_tile, 0)
     return min_tile, count
+
+
+def estimate_table_sizes(ndc, view_z, inv_cov2d, opacity, valid_mask,
+                         img_h: int, img_w: int, tile_h: int, tile_w: int):
+    """Cheap upper-bound sizing pass: no expansions, tiny memory.
+
+    Returns [3] int32 (visible points, exact row count, entry upper bound
+    from the tile-rect area -- the same bound the reference's legacy
+    createTable used before speedy-splat, binning.cu:33-110).  Used to pick
+    initial capacity buckets before the first full step compiles.
+    """
+    tiles_x = math.ceil(img_w / tile_w)
+    tiles_y = math.ceil(img_h / tile_h)
+    a, b, c = inv_cov2d[0], inv_cov2d[1], inv_cov2d[2]
+    disc = b * b - a * c
+    visible = ((jnp.abs(ndc[0]) <= 1.3) & (jnp.abs(ndc[1]) <= 1.3)
+               & (view_z > 0.2) & (opacity >= 1.0 / 255.0)
+               & (a > 0) & (c > 0) & (disc < 0) & valid_mask)
+    px = (ndc[0] * 0.5 + 0.5) * img_w - 0.5
+    py = (ndc[1] * 0.5 + 0.5) * img_h - 0.5
+    t = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)
+    safe = visible
+    a_s = jnp.where(safe, a, 1.0)
+    c_s = jnp.where(safe, c, 1.0)
+    disc_s = jnp.where(safe, disc, -1.0)
+    t_s = jnp.where(safe, t, 0.0)
+    dx_max = jnp.sqrt(jnp.maximum(-t_s * c_s / disc_s, 0.0))
+    dy_max = jnp.sqrt(jnp.maximum(-t_s * a_s / disc_s, 0.0))
+    rect_w = (jnp.clip(jnp.floor((px + dx_max + tile_w - 1) / tile_w), 0,
+                       tiles_x)
+              - jnp.clip(jnp.floor((px - dx_max) / tile_w), 0, tiles_x))
+    rect_h = (jnp.clip(jnp.floor((py + dy_max + tile_h - 1) / tile_h), 0,
+                       tiles_y)
+              - jnp.clip(jnp.floor((py - dy_max) / tile_h), 0, tiles_y))
+    rect_w = jnp.where(safe, rect_w, 0.0)
+    rect_h = jnp.where(safe, rect_h, 0.0)
+    n_vis = jnp.sum(visible, dtype=jnp.int32)
+    n_rows = jnp.sum(rect_h, dtype=jnp.float32)
+    # + per-tile 128-alignment slack (build_tile_table pads every tile's
+    # segment to a block boundary)
+    n_entries = (jnp.sum(rect_w * rect_h, dtype=jnp.float32)
+                 + 127.0 * tiles_x * tiles_y)
+    return jnp.stack([n_vis, n_rows.astype(jnp.int32),
+                      n_entries.astype(jnp.int32)])
 
 
 def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
@@ -251,5 +297,7 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
                          tile_start=aligned_start,
                          tile_count=tile_count,
                          num_entries=total_entries,
+                         num_aligned=total_aligned,
+                         num_rows=total_rows,
                          primitive_visible=primitive_visible,
                          overflow=overflow)

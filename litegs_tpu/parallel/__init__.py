@@ -157,7 +157,8 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
         psnr = jax.lax.pmean(losses.psnr(out.img, gt_image), DATA_AXIS)
         overflow = jax.lax.pmax(out.overflow.astype(jnp.int32),
                                 DATA_AXIS) > 0
-        metrics = {"loss": loss, "psnr": psnr, "overflow": overflow}
+        metrics = {"loss": loss, "psnr": psnr, "overflow": overflow,
+                   "sizes": jax.lax.pmax(out.sizes, DATA_AXIS)}
         return new_state, stats, metrics
 
     rep = P()

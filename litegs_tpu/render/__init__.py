@@ -56,6 +56,7 @@ class RenderedView(NamedTuple):
     depth: Optional[jax.Array]      # [1, H, W] or None
     primitive_visible: jax.Array    # [Mv] bool
     overflow: jax.Array             # scalar bool
+    sizes: jax.Array                # [3] int32: visible prims, rows, entries
     aux: RenderAux
 
 
@@ -104,6 +105,22 @@ def render_preprocess(params: GaussianParams,
     return CulledGaussians(xyz=xyz, scale=scale, rot=rot, color=color,
                            opacity=opacity, valid=valid, chunk_ids=chunk_ids,
                            num_visible_chunks=num_vis, overflow=overflow)
+
+
+def estimate_view_sizes(culled: CulledGaussians, view_matrix, proj_matrix,
+                        img_h: int, img_w: int, pp: PipelineParams):
+    """Upper-bound (visible, rows, entries) for one view -- the initial
+    capacity-bucket probe (cheap: projection + reductions, no expansions)."""
+    tile_h, tile_w = pp.tile_size
+    xyz_h = projection.homogeneous(culled.xyz)
+    view_pos, ndc = projection.mvp_transform(xyz_h, view_matrix, proj_matrix)
+    transform_m = projection.create_transform_matrix(culled.scale, culled.rot)
+    jac = projection.rayspace_jacobian(view_pos, proj_matrix, img_h, img_w)
+    cov2d = projection.cov2d_from_transform(jac, view_matrix, transform_m)
+    inv_cov = projection.inverse_2x2_sym(cov2d)
+    return binning_ops.estimate_table_sizes(
+        ndc, view_pos[2], inv_cov, culled.opacity, culled.valid,
+        img_h, img_w, tile_h, tile_w)
 
 
 def render(culled: CulledGaussians, view_matrix, proj_matrix,
@@ -156,7 +173,15 @@ def render(culled: CulledGaussians, view_matrix, proj_matrix,
     aux = RenderAux(table=table, mean_pix=mean_pix, inv_cov=inv_cov,
                     color_chan=color_chan, opacity=culled.opacity,
                     tiles_color=tiles_color, tiles_trans=tiles_trans)
+    # actual sizes this view consumed -- the feedback signal for capacity
+    # bucketing (the reference's pinned-memory feedback buffers,
+    # data.py:236-245; here a device vector read lazily by the trainer)
+    sizes = jnp.stack([
+        culled.num_visible_chunks.astype(jnp.int32) * jnp.int32(
+            pp.cluster_size),
+        table.num_rows.astype(jnp.int32),
+        jnp.maximum(table.num_entries, table.num_aligned).astype(jnp.int32)])
     return RenderedView(img=img, transmitance=trans, depth=depth,
                         primitive_visible=table.primitive_visible,
                         overflow=table.overflow | culled.overflow,
-                        aux=aux)
+                        sizes=sizes, aux=aux)

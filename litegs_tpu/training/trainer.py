@@ -135,6 +135,7 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             "loss": loss,
             "psnr": losses.psnr(out.img, gt_image),
             "overflow": out.overflow,
+            "sizes": out.sizes,
         }
         return new_state, stats, metrics
 
@@ -182,6 +183,10 @@ class Trainer:
         self._eval_cache = {}
         self.key = jax.random.PRNGKey(self.seed)
         self.overflow_count = 0
+        # capacity feedback: observed per-view maxima of
+        # (visible primitives, rows, entries); None until the first epoch
+        self.size_feedback = None
+        self.overflow_last_epoch = False
 
     # -- setup ---------------------------------------------------------
 
@@ -211,11 +216,27 @@ class Trainer:
         return (self.dp.densify_from <= epoch < self.densify_until
                 and epoch % self.dp.densification_interval == 0)
 
-    def _get_step(self, sh_degree: int, collect: bool):
-        key = (sh_degree, collect)
+    def _epoch_caps(self) -> cfg.CapacityParams:
+        """Capacities for the next epoch from the feedback signal.
+
+        The reference predicts buffer sizes from the previous epoch's value
+        for the same camera with a 1.2x/1.5x margin (compact.cu:527-551,
+        binning.cu:137-169); here the epoch's observed maxima pick a bucket
+        on a geometric grid so only a handful of step variants ever compile.
+        """
+        if not self.pp.adaptive_capacity or self.size_feedback is None:
+            return self.caps
+        vis, rows, ents = (int(x) for x in self.size_feedback)
+        margin = 1.3 * (1.5 if self.overflow_last_epoch else 1.0)
+        return cfg.bucketed_capacity(self.caps.primitive_capacity,
+                                     vis, rows, ents, margin)
+
+    def _get_step(self, sh_degree: int, collect: bool,
+                  caps: cfg.CapacityParams):
+        key = (sh_degree, collect, caps)
         if key not in self._step_cache:
             self._step_cache[key] = make_train_step(
-                self.lp, self.op, self.pp, self.caps, self.img_h,
+                self.lp, self.op, self.pp, caps, self.img_h,
                 self.img_w, self.spatial_lr_scale, sh_degree, collect,
                 self.interpret)
         return self._step_cache[key]
@@ -231,40 +252,63 @@ class Trainer:
 
     def run_epoch(self, state: TrainState, stats, epoch: int,
                   frame_ids=None):
-        """Train one epoch; returns (state, stats, mean_metrics)."""
+        """Train one epoch; returns (state, stats, mean_metrics).
+
+        Metrics stay on device until the epoch ends (one readback per
+        epoch) -- the steady-state loop never host-syncs, mirroring the
+        reference's GPU-driven discipline (SURVEY.md layer map note 3).
+        """
         sh_deg = self._sh_degree(epoch)
         collect = self.is_densify_active(epoch)
-        step_fn = self._get_step(sh_deg, collect)
+        step_fn = self._get_step(sh_deg, collect, self._epoch_caps())
         origin, extend = masked_chunk_aabb(state.params, state.active_count,
                                            self.pp.cluster_size)
         if frame_ids is None:
             self.key, sub = jax.random.split(self.key)
             frame_ids = np.asarray(
                 jax.random.permutation(sub, self.n_frames))
-        loss_sum, psnr_sum = 0.0, 0.0
+        pending = []
         for i in frame_ids:
             i = int(i)
             state, stats, metrics = step_fn(
                 state, stats, origin, extend, self.data.view[i],
                 self.data.proj[i], self.data.planes[i],
                 self.data.center[i], self.data.images[i])
-            loss_sum += float(metrics["loss"])
-            psnr_sum += float(metrics["psnr"])
-            self.overflow_count += int(metrics["overflow"])
+            pending.append(metrics)
+        got = jax.device_get(pending)
         n = len(frame_ids)
-        return state, stats, {"loss": loss_sum / n, "psnr": psnr_sum / n}
+        n_over = int(sum(int(g["overflow"]) for g in got))
+        self.overflow_count += n_over
+        self.overflow_last_epoch = n_over > 0
+        sizes_max = np.max(np.stack([g["sizes"] for g in got]), axis=0)
+        if self.size_feedback is None:
+            self.size_feedback = sizes_max
+        else:
+            self.size_feedback = np.maximum(sizes_max, 0)
+        return state, stats, {
+            "loss": float(np.mean([g["loss"] for g in got])),
+            "psnr": float(np.mean([g["psnr"] for g in got]))}
 
     def epoch_boundary(self, state: TrainState, stats, epoch: int):
         """Morton resort + AABB refresh + densification on the reference
         schedule (trainer.py:101-106, 201)."""
         # densification (end of epoch)
         self.key, sub = jax.random.split(self.key)
+        old_active = int(state.active_count)
         params, adam, active, did = densify.densify_step(
             state.params, state.adam, stats, state.active_count, epoch,
             sub, self.dp, self.densify_until, self.init_points_num,
             self.spatial_lr_scale, self.pp.cluster_size)
         if did:
             stats = statistics.init_stats(self.caps.primitive_capacity)
+            if self.size_feedback is not None and old_active > 0:
+                # densification grows every per-view size roughly with the
+                # primitive count; scale the feedback so the next epoch's
+                # capacity bucket anticipates it instead of overflowing
+                growth = max(int(active) / old_active, 1.0)
+                self.size_feedback = (
+                    self.size_feedback.astype(np.float64) * growth
+                ).astype(np.int64)
         state = TrainState(params=params, adam=adam, active_count=active,
                            step=state.step)
         # Morton resort runs at the START of epoch e when
