@@ -7,8 +7,9 @@ chunked frustum culling, score-based budgeted densification, sparse Adam,
 COLMAP/PLY IO, an eval harness -- plus multi-chip data parallelism over a
 ``jax.sharding.Mesh`` that the single-GPU reference does not have.
 """
-from . import config, data, ops, render, scene, training, utils
+from . import config, data, io, ops, parallel, render, scene, training, utils
 
 __version__ = "0.1.0"
 
-__all__ = ["config", "data", "ops", "render", "scene", "training", "utils"]
+__all__ = ["config", "data", "io", "ops", "parallel", "render", "scene",
+           "training", "utils"]

@@ -142,6 +142,19 @@ def pad_params(params: GaussianParams, capacity: int) -> GaussianParams:
     )
 
 
+def pad_to_chunk(params: GaussianParams, chunk_size: int = 128
+                 ) -> GaussianParams:
+    """Pad the live prefix to a chunk multiple by repeating tail points
+    (reference cluster.cluster_points, cluster.py:16-18)."""
+    import jax
+    n = params.capacity
+    if n % chunk_size == 0:
+        return params
+    extra = chunk_size - n % chunk_size
+    return jax.tree.map(
+        lambda x: jnp.concatenate([x, x[..., -extra:]], axis=-1), params)
+
+
 def activate(params: GaussianParams):
     """Raw params -> rendering quantities (exp / sigmoid / normalize).
 

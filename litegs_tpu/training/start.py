@@ -1,0 +1,169 @@
+"""Top-level training entry: COLMAP dataset in, trained ply out.
+
+TPU re-design of ``litegs.training.start`` (reference trainer.py:26-227):
+load the COLMAP reconstruction, preload every image to device (reference
+device_preload, data.py:178-190), build the functional Trainer, run the
+epoch loop with the reference's hooks (test PSNR at ``test_epochs``, ply
+export at ``save_epochs`` + finish, checkpoint at ``checkpoint_epochs``,
+resume from ``start_checkpoint``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .. import config as cfg
+from .. import io as io_manager
+from ..data.camera import camera_dataset_norm, load_image
+from . import statistics
+from .trainer import CameraBatch, Trainer
+
+
+def split_train_test(frames, eval_mode: bool, source_path: str):
+    """Train/test split: ``train_test_split.json`` when present, else the
+    standard every-8th holdout (reference trainer.py:40-48)."""
+    split_file = os.path.join(source_path, "train_test_split.json")
+    if os.path.exists(split_file):
+        with open(split_file) as f:
+            split = json.load(f)
+        train_names = set(split.get("train", []))
+        test_names = set(split.get("test", []))
+        train = [f for f in frames
+                 if f.name in train_names or os.path.splitext(f.name)[0]
+                 in train_names]
+        test = [f for f in frames
+                if f.name in test_names or os.path.splitext(f.name)[0]
+                in test_names]
+        return train, test
+    if eval_mode:
+        train = [f for i, f in enumerate(frames) if i % 8 != 0]
+        test = [f for i, f in enumerate(frames) if i % 8 == 0]
+        return train, test
+    return list(frames), []
+
+
+def build_camera_batch(cams, frames, images_dir: str, resolution: int,
+                       ) -> tuple[CameraBatch, int, int]:
+    """Load + resize all images, build device-resident camera tensors.
+
+    All frames must share one post-resize resolution (true for the standard
+    benchmark datasets; the batch is a single stacked device array).
+    """
+    imgs, views, projs, planes, centers = [], [], [], [], []
+    scaled_cache: dict[tuple[int, int, int], object] = {}
+    img_h = img_w = None
+    for fr in frames:
+        arr = load_image(os.path.join(images_dir, fr.name), resolution)
+        _, h, w = arr.shape
+        if img_h is None:
+            img_h, img_w = h, w
+        elif (h, w) != (img_h, img_w):
+            raise ValueError(
+                f"frame {fr.name} is {h}x{w}, expected {img_h}x{img_w}; "
+                "mixed-resolution datasets are not supported yet")
+        cam = cams[fr.camera_id]
+        key = (fr.camera_id, w, h)
+        if key not in scaled_cache:
+            scaled_cache[key] = cam.scaled(w, h)
+        cam_s = scaled_cache[key]
+        proj = cam_s.proj_matrix()
+        imgs.append(arr.astype(np.float32) / 255.0)
+        views.append(fr.view_matrix())
+        projs.append(proj)
+        planes.append(fr.frustumplane(proj))
+        centers.append(fr.camera_center())
+    import jax.numpy as jnp
+    batch = CameraBatch(
+        view=jnp.asarray(np.stack(views), jnp.float32),
+        proj=jnp.asarray(np.stack(projs), jnp.float32),
+        planes=jnp.asarray(np.stack(planes), jnp.float32),
+        center=jnp.asarray(np.stack(centers), jnp.float32),
+        images=jnp.asarray(np.stack(imgs), jnp.float32))
+    return batch, img_h, img_w
+
+
+def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
+          pp: cfg.PipelineParams, dp: cfg.DensifyParams,
+          test_epochs: Sequence[int] = (),
+          save_epochs: Sequence[int] = (),
+          checkpoint_epochs: Sequence[int] = (),
+          start_checkpoint: Optional[str] = None,
+          verbose: bool = True):
+    """Train a scene end-to-end. Returns (trainer, state, history)."""
+    t_load = time.time()
+    cams, frames, xyz, rgb = io_manager.load_colmap_result(lp.source_path)
+    train_frames, test_frames = split_train_test(frames, lp.eval,
+                                                 lp.source_path)
+    images_dir = os.path.join(lp.source_path, lp.images)
+    data, img_h, img_w = build_camera_batch(cams, train_frames, images_dir,
+                                            lp.resolution)
+    test_data = None
+    if test_frames:
+        test_data, _, _ = build_camera_batch(cams, test_frames, images_dir,
+                                             lp.resolution)
+    _, radius = camera_dataset_norm(train_frames)
+    if verbose:
+        print(f"loaded {len(train_frames)} train / {len(test_frames)} test "
+              f"frames at {img_h}x{img_w}, {xyz.shape[0]} seed points, "
+              f"radius {radius:.2f} ({time.time() - t_load:.1f}s)",
+              flush=True)
+
+    caps = cfg.auto_capacity(max(int(dp.target_primitives),
+                                 xyz.shape[0] + 1))
+    trainer = Trainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps, data=data,
+                      spatial_lr_scale=radius)
+
+    state = trainer.init_state(xyz, rgb)
+    stats = statistics.init_stats(caps.primitive_capacity)
+    start_epoch = 0
+    if start_checkpoint:
+        start_epoch, state = io_manager.load_checkpoint(start_checkpoint,
+                                                        state)
+        start_epoch += 1
+        if verbose:
+            print(f"resumed from {start_checkpoint} at epoch {start_epoch}",
+                  flush=True)
+
+    ckpt_dir = os.path.join(lp.model_path, "checkpoints")
+    history = []
+    t0 = time.time()
+    for epoch in range(start_epoch, trainer.total_epochs):
+        state, stats, metrics = trainer.run_epoch(state, stats, epoch)
+        state, stats = trainer.epoch_boundary(state, stats, epoch)
+        metrics["epoch"] = epoch
+        metrics["active"] = int(state.active_count)
+        history.append(metrics)
+        if verbose:
+            print(f"[epoch {epoch}] loss={metrics['loss']:.4f} "
+                  f"psnr={metrics['psnr']:.2f} active={metrics['active']}",
+                  flush=True)
+        if epoch in test_epochs and test_data is not None:
+            psnr = trainer.evaluate(state, test_data, epoch)
+            print(f"[epoch {epoch}] test PSNR {psnr:.2f}", flush=True)
+        if epoch in save_epochs:
+            export_ply(lp.model_path, state,
+                       iteration=(epoch + 1) * trainer.n_frames)
+        if epoch in checkpoint_epochs:
+            io_manager.save_checkpoint(ckpt_dir, epoch, state)
+    elapsed = time.time() - t0
+    if verbose:
+        iters = trainer.total_epochs * trainer.n_frames
+        print(f"takes: {elapsed:.1f}s ({iters} iterations, "
+              f"overflows={trainer.overflow_count})", flush=True)
+    export_ply(lp.model_path, state, final=True)
+    return trainer, state, history
+
+
+def export_ply(model_path: str, state, iteration: int = 0,
+               final: bool = False) -> str:
+    """Standard 3DGS export layout (reference trainer.py:204-222):
+    point_cloud/{iteration_N | finish}/point_cloud.ply."""
+    sub = "finish" if final else f"iteration_{iteration}"
+    path = os.path.join(model_path, "point_cloud", sub, "point_cloud.ply")
+    io_manager.save_ply(path, state.params,
+                        active_count=int(state.active_count))
+    return path

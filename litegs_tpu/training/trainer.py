@@ -191,16 +191,9 @@ class Trainer:
     # -- setup ---------------------------------------------------------
 
     def init_state(self, init_xyz, init_color) -> TrainState:
+        from ..scene.gaussians import pad_to_chunk
         params = create_gaussians(init_xyz, init_color, self.lp.sh_degree)
-        n0 = params.capacity
-        chunk = self.pp.cluster_size
-        # pad the live prefix to a chunk multiple by repeating tail points
-        # (reference cluster.cluster_points, cluster.py:16-18)
-        if n0 % chunk:
-            extra = chunk - n0 % chunk
-            params = jax.tree.map(
-                lambda x: jnp.concatenate([x, x[..., -extra:]], axis=-1),
-                params)
+        params = pad_to_chunk(params, self.pp.cluster_size)
         self.init_points_num = params.capacity
         params = pad_params(params, self.caps.primitive_capacity)
         return TrainState(params=params, adam=init_adam(params),

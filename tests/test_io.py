@@ -1,0 +1,194 @@
+"""IO layer: ply round-trips, COLMAP parsing (text + binary), checkpoints,
+and the full disk-to-disk pipeline (train CLI -> ply export -> metrics)."""
+import os
+import struct
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from litegs_tpu import config as cfg
+from litegs_tpu import io as io_manager
+from litegs_tpu.data import synthetic
+from litegs_tpu.io import colmap as colmap_io
+from litegs_tpu.io import ply as ply_io
+from litegs_tpu.scene import create_gaussians
+from litegs_tpu.scene.gaussians import GaussianParams
+
+
+def random_params(n=200, sh_degree=2, seed=0):
+    rng = np.random.default_rng(seed)
+    k = (sh_degree + 1) ** 2 - 1
+    return GaussianParams(
+        xyz=jnp.asarray(rng.normal(size=(3, n)), jnp.float32),
+        scale=jnp.asarray(rng.normal(size=(3, n)), jnp.float32),
+        rot=jnp.asarray(rng.normal(size=(4, n)), jnp.float32),
+        sh_0=jnp.asarray(rng.normal(size=(1, 3, n)), jnp.float32),
+        sh_rest=jnp.asarray(rng.normal(size=(k, 3, n)), jnp.float32),
+        opacity=jnp.asarray(rng.normal(size=(1, n)), jnp.float32))
+
+
+def test_ply_roundtrip(tmp_path):
+    params = random_params()
+    path = str(tmp_path / "model.ply")
+    io_manager.save_ply(path, params)
+    loaded = io_manager.load_ply(path)
+    for a, b in zip(params, loaded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_ply_active_count_truncates(tmp_path):
+    params = random_params(n=256)
+    path = str(tmp_path / "model.ply")
+    io_manager.save_ply(path, params, active_count=100)
+    loaded = io_manager.load_ply(path)
+    assert loaded.capacity == 100
+    np.testing.assert_allclose(np.asarray(loaded.xyz),
+                               np.asarray(params.xyz)[:, :100], rtol=1e-6)
+
+
+def test_pointcloud_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    xyz = rng.normal(size=(50, 3)).astype(np.float32)
+    rgb = rng.random((50, 3)).astype(np.float32)
+    path = str(tmp_path / "points3D.ply")
+    ply_io.save_pointcloud_ply(path, xyz, rgb)
+    x2, c2 = ply_io.load_pointcloud_ply(path)
+    np.testing.assert_allclose(x2, xyz, rtol=1e-6)
+    assert np.abs(c2 - rgb).max() <= 1.0 / 255.0 + 1e-6
+
+
+def write_colmap_text(sparse, cam, frames, xyz, rgb):
+    os.makedirs(sparse, exist_ok=True)
+    with open(os.path.join(sparse, "cameras.txt"), "w") as f:
+        f.write("# cameras\n")
+        f.write(f"{cam.id} PINHOLE {cam.width} {cam.height} "
+                f"{cam.focal_x} {cam.focal_y} "
+                f"{cam.width/2} {cam.height/2}\n")
+    with open(os.path.join(sparse, "images.txt"), "w") as f:
+        f.write("# images\n")
+        for fr in frames:
+            q, t = fr.qvec, fr.tvec
+            f.write(f"{fr.id} {q[0]} {q[1]} {q[2]} {q[3]} "
+                    f"{t[0]} {t[1]} {t[2]} {cam.id} {fr.name}\n\n")
+    with open(os.path.join(sparse, "points3D.txt"), "w") as f:
+        f.write("# points\n")
+        for i in range(xyz.shape[0]):
+            r, g, b = (rgb[i] * 255).astype(int)
+            f.write(f"{i} {xyz[i,0]} {xyz[i,1]} {xyz[i,2]} {r} {g} {b} "
+                    f"0.5 0 0\n")
+
+
+def write_colmap_binary(sparse, cam, frames, xyz, rgb):
+    os.makedirs(sparse, exist_ok=True)
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", cam.id, 1, cam.width, cam.height))
+        f.write(struct.pack("<4d", cam.focal_x, cam.focal_y,
+                            cam.width / 2, cam.height / 2))
+    with open(os.path.join(sparse, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(frames)))
+        for fr in frames:
+            f.write(struct.pack("<i4d3di", fr.id, *fr.qvec, *fr.tvec,
+                                cam.id))
+            f.write(fr.name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 2))        # two dummy 2D points
+            f.write(struct.pack("<2d q", 1.0, 2.0, -1) * 2)
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", xyz.shape[0]))
+        for i in range(xyz.shape[0]):
+            f.write(struct.pack("<Q3d", i, *xyz[i]))
+            f.write(struct.pack("<3B", *(rgb[i] * 255).astype(int)))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 0, 0))
+
+
+@pytest.mark.parametrize("writer", [write_colmap_text, write_colmap_binary])
+def test_colmap_load(tmp_path, writer):
+    cam, frames = synthetic.make_cameras(4, 48, 64, seed=0)
+    rng = np.random.default_rng(2)
+    xyz = rng.normal(size=(30, 3))
+    rgb = rng.random((30, 3))
+    writer(str(tmp_path / "sparse" / "0"), cam, frames, xyz, rgb)
+    cams2, frames2, xyz2, rgb2 = io_manager.load_colmap_result(
+        str(tmp_path))
+    assert cams2[cam.id].width == cam.width
+    assert np.isclose(cams2[cam.id].focal_x, cam.focal_x)
+    assert len(frames2) == 4
+    fr0 = min(frames2, key=lambda f: f.id)
+    src = frames[0]
+    np.testing.assert_allclose(fr0.qvec, src.qvec, atol=1e-6)
+    np.testing.assert_allclose(fr0.tvec, src.tvec, atol=1e-6)
+    np.testing.assert_allclose(xyz2, xyz, atol=1e-5)
+    assert np.abs(rgb2 - rgb).max() < 2.0 / 255.0
+    # second load goes through the ply cache (colmap.py:307-320 behavior)
+    assert os.path.exists(tmp_path / "sparse" / "0" / "points3D.ply")
+    _, _, xyz3, _ = io_manager.load_colmap_result(str(tmp_path))
+    np.testing.assert_allclose(xyz3, xyz2, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from litegs_tpu.training.optimizer import init_adam
+    from litegs_tpu.training.trainer import TrainState
+    params = random_params(n=128)
+    state = TrainState(params=params, adam=init_adam(params),
+                       active_count=jnp.int32(100), step=jnp.int32(7))
+    path = io_manager.save_checkpoint(str(tmp_path), 3, state)
+    template = TrainState(params=random_params(n=128, seed=9),
+                          adam=init_adam(params),
+                          active_count=jnp.int32(0), step=jnp.int32(0))
+    epoch, restored = io_manager.load_checkpoint(path, template)
+    assert epoch == 3
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(np.asarray(restored.params.xyz),
+                               np.asarray(params.xyz))
+
+
+def make_disk_dataset(root, n_frames=6, n_points=400, img_h=48, img_w=64):
+    """Synthetic scene written as a COLMAP-layout dataset with PNGs."""
+    import PIL.Image
+    from litegs_tpu.data import synthetic_train
+    data, init_xyz, init_rgb = synthetic_train.make_task(
+        n_points=n_points, n_frames=n_frames, img_h=img_h, img_w=img_w,
+        sh_degree=1, seed=5)
+    cam, frames = synthetic.make_cameras(n_frames, img_h, img_w, seed=5)
+    for fr in frames:
+        fr.name = fr.name + ".png"
+    write_colmap_text(os.path.join(root, "sparse", "0"), cam, frames,
+                      init_xyz.astype(np.float64), init_rgb)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    for i, fr in enumerate(frames):
+        arr = (np.clip(np.asarray(data.images[i]), 0, 1) * 255).astype(
+            np.uint8).transpose(1, 2, 0)
+        PIL.Image.fromarray(arr).save(os.path.join(img_dir, fr.name))
+    return root
+
+
+def test_end_to_end_disk_pipeline(tmp_path):
+    """Full CLI pipeline: COLMAP dataset -> train -> ply -> metrics."""
+    import example_metrics
+    import example_train
+    scene = make_disk_dataset(str(tmp_path / "scene"))
+    model = str(tmp_path / "model")
+    example_train.main([
+        "-s", scene, "-m", model, "--eval",
+        "--iterations", "36", "--sh_degree", "1",
+        "--target_primitives", "1024", "--densify_from", "1",
+        "--densify_until", "3", "--raster_backend", "jnp",
+        "--test_epochs", "4", "--checkpoint_epochs", "2",
+        "--save_epochs", "3",
+    ])
+    final_ply = os.path.join(model, "point_cloud", "finish",
+                             "point_cloud.ply")
+    assert os.path.exists(final_ply)
+    assert os.path.exists(os.path.join(model, "checkpoints",
+                                       "chkpnt2.npz"))
+    loaded = io_manager.load_ply(final_ply)
+    assert loaded.capacity > 0
+    example_metrics.main(["-s", scene, "-m", model, "--skip_train",
+                          "--raster_backend", "jnp"])
