@@ -69,6 +69,7 @@ class OptimizationParams:
     lambda_dssim: float = 0.2
     reg_weight: float = 0.0
     learnable_viewproj: bool = False
+    pose_lr: float = 1e-4  # SparseAdam lr for extrinsics (trainer.py:89)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,3 +1,4 @@
-from . import projection, binning, raster_jnp, losses
+from . import binning, losses, pose, projection, raster, raster_jnp
 
-__all__ = ["projection", "binning", "raster_jnp", "losses"]
+__all__ = ["binning", "losses", "pose", "projection", "raster",
+           "raster_jnp"]

@@ -114,8 +114,11 @@ def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
 
     caps = cfg.auto_capacity(max(int(dp.target_primitives),
                                  xyz.shape[0] + 1))
+    extr_init = None
+    if op.learnable_viewproj:
+        extr_init = np.stack([fr.extr_params() for fr in train_frames])
     trainer = Trainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps, data=data,
-                      spatial_lr_scale=radius)
+                      spatial_lr_scale=radius, extr_init=extr_init)
 
     state = trainer.init_state(xyz, rgb)
     stats = statistics.init_stats(caps.primitive_capacity)
@@ -155,6 +158,11 @@ def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
         print(f"takes: {elapsed:.1f}s ({iters} iterations, "
               f"overflows={trainer.overflow_count})", flush=True)
     export_ply(lp.model_path, state, final=True)
+    if trainer.pose_state is not None:
+        # refined camera extrinsics (reference saves viewproj.pth,
+        # trainer.py:221-222)
+        np.savez(os.path.join(lp.model_path, "viewproj.npz"),
+                 extr=np.asarray(trainer.pose_state.extr))
     return trainer, state, history
 
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from .. import config as cfg
 from ..ops import losses
+from ..ops import pose as pose_ops
 from ..ops import raster as raster_ops
 from ..render import render, render_preprocess
 from ..scene import cluster
@@ -68,8 +69,16 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                     pp: cfg.PipelineParams, caps: cfg.CapacityParams,
                     img_h: int, img_w: int, spatial_lr_scale: float,
                     sh_degree: int, collect_stats: bool,
-                    interpret: bool = False):
-    """Build the jitted per-iteration step for one static configuration."""
+                    interpret: bool = False, learnable_pose: bool = False):
+    """Build the jitted per-iteration step for one static configuration.
+
+    When ``learnable_pose`` (op.learnable_viewproj), per-frame extrinsics
+    are trained jointly: the view matrix is rebuilt differentiably from the
+    frame's extr row each step and updated with SparseAdam (reference
+    trainer.py:84-122; note the reference's own custom ops stop all matrix
+    gradients -- MVPTransform.backward returns position grads only,
+    wrapper.py:278-285 -- so this path actually *works* here where the
+    reference's cannot)."""
     import math as pymath
     tile_h, tile_w = pp.tile_size
     tiles_x = pymath.ceil(img_w / tile_w)
@@ -78,8 +87,8 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
 
     def step(state: TrainState, stats: statistics.StatsState,
              chunk_origin, chunk_extend, view, proj, planes, center,
-             gt_image):
-        def loss_fn(params):
+             gt_image, pose, frame_idx):
+        def loss_from(params, view, planes, center):
             culled = render_preprocess(params, chunk_origin, chunk_extend,
                                        planes, center, sh_degree, pp, caps)
             out = render(culled, view, proj, img_h, img_w, pp, caps,
@@ -92,8 +101,23 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 loss = loss + jnp.mean(jnp.abs(1.0 - out.transmitance))
             return loss, (out, culled)
 
-        (loss, (out, culled)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if learnable_pose:
+            def loss_fn(params, extr_row):
+                v, pl_, c = pose_ops.camera_from_extr(extr_row, proj)
+                # culling planes and SH view dirs carry no pose gradient
+                # (reference: frustum/no_grad dirs, render/__init__.py:40)
+                return loss_from(params, v, jax.lax.stop_gradient(pl_),
+                                 jax.lax.stop_gradient(c))
+
+            (loss, (out, culled)), (grads, g_extr) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, pose.extr[frame_idx])
+            pose = pose_ops.sparse_pose_adam(pose, frame_idx, g_extr,
+                                             lr=op.pose_lr)
+        else:
+            (loss, (out, culled)), grads = jax.value_and_grad(
+                lambda p: loss_from(p, view, planes, center),
+                has_aux=True)(state.params)
 
         nchunks = caps.primitive_capacity // chunk_size
         chunk_mask = cluster.scatter_chunk_mask(
@@ -137,9 +161,10 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             "overflow": out.overflow,
             "sizes": out.sizes,
         }
-        return new_state, stats, metrics
+        return new_state, stats, pose, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    donate = (0, 1, 9) if learnable_pose else (0, 1)
+    return jax.jit(step, donate_argnums=donate)
 
 
 def make_eval_render(pp: cfg.PipelineParams, caps: cfg.CapacityParams,
@@ -171,6 +196,9 @@ class Trainer:
     spatial_lr_scale: float
     interpret: bool = False
     seed: int = 0
+    # per-frame extrinsics [F, 7] (qvec+tvec); required when
+    # op.learnable_viewproj -- the pose-refinement initialization
+    extr_init: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.img_h = int(self.data.images.shape[2])
@@ -187,6 +215,11 @@ class Trainer:
         # (visible primitives, rows, entries); None until the first epoch
         self.size_feedback = None
         self.overflow_last_epoch = False
+        self.pose_state = None
+        if self.op.learnable_viewproj:
+            assert self.extr_init is not None, \
+                "learnable_viewproj requires extr_init ([F,7] per frame)"
+            self.pose_state = pose_ops.init_pose_state(self.extr_init)
 
     # -- setup ---------------------------------------------------------
 
@@ -231,7 +264,8 @@ class Trainer:
             self._step_cache[key] = make_train_step(
                 self.lp, self.op, self.pp, caps, self.img_h,
                 self.img_w, self.spatial_lr_scale, sh_degree, collect,
-                self.interpret)
+                self.interpret,
+                learnable_pose=self.op.learnable_viewproj)
         return self._step_cache[key]
 
     def _get_eval(self, sh_degree: int):
@@ -263,10 +297,11 @@ class Trainer:
         pending = []
         for i in frame_ids:
             i = int(i)
-            state, stats, metrics = step_fn(
+            state, stats, self.pose_state, metrics = step_fn(
                 state, stats, origin, extend, self.data.view[i],
                 self.data.proj[i], self.data.planes[i],
-                self.data.center[i], self.data.images[i])
+                self.data.center[i], self.data.images[i],
+                self.pose_state, jnp.int32(i))
             pending.append(metrics)
         got = jax.device_get(pending)
         n = len(frame_ids)
