@@ -63,7 +63,8 @@ def main():
         visible_capacity=cfg.round_up(n_points, 128),
         row_capacity=cfg.round_up(n_points * 4, 128),
         entry_capacity=cfg.round_up(n_points * 8, 128))
-    pp = cfg.PipelineParams(raster_backend=backend)
+    th, tw = map(int, os.environ.get("BENCH_TILE", "16x16").split("x"))
+    pp = cfg.PipelineParams(raster_backend=backend, tile_size=(th, tw))
     lp = cfg.ModelParams(sh_degree=sh_degree)
     op_ = cfg.OptimizationParams()
 
@@ -97,6 +98,18 @@ def main():
         sizes_max = np.maximum(sizes_max, np.asarray(s))
     caps = cfg.bucketed_capacity(caps.primitive_capacity, *map(int,
                                                                sizes_max))
+    # second stage: one real step at the estimated caps reports TRUE
+    # consumption; re-bucket (the rect-bound estimate is ~1.5x loose)
+    probe_fn = make_train_step(lp, op_, pp, caps, img_h, img_w,
+                               spatial_lr_scale=1.0, sh_degree=sh_degree,
+                               collect_stats=False, interpret=interp)
+    state, stats, _, pm = probe_fn(state, stats, origin, extend,
+                                   batch.view[0], batch.proj[0],
+                                   batch.planes[0], batch.center[0],
+                                   batch.images[0], None, jnp.int32(0))
+    true_sizes = np.asarray(pm["sizes"]) * [1.0, 1.1, 1.1]  # cross-frame pad
+    caps = cfg.bucketed_capacity(caps.primitive_capacity,
+                                 *map(int, true_sizes))
     print(f"[bench] observed sizes={sizes_max.tolist()} -> caps "
           f"vis={caps.visible_capacity} rows={caps.row_capacity} "
           f"entries={caps.entry_capacity}", file=sys.stderr)
@@ -107,9 +120,10 @@ def main():
     def run(i):
         nonlocal state, stats
         f = i % n_frames
-        state, stats, metrics = step_fn(
+        state, stats, _, metrics = step_fn(
             state, stats, origin, extend, batch.view[f], batch.proj[f],
-            batch.planes[f], batch.center[f], batch.images[f])
+            batch.planes[f], batch.center[f], batch.images[f],
+            None, jnp.int32(f))
         return metrics
 
     # warmup / compile

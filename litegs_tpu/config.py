@@ -79,6 +79,11 @@ class DensifyParams:
     densification_interval: int = 5
     densify_from: int = 3
     densify_until: int = -1
+    # 'taming' = budgeted score sampling (what the reference trainer uses,
+    # trainer.py:96); 'official' = original-3DGS grad-threshold clone/split
+    # (the reference's DensityControllerOfficial reads a statistic nothing
+    # produces, densify.py:123; here the signal is actually wired)
+    densify_mode: str = "taming"
     opacity_reset_interval: int = 10
     opacity_reset_mode: str = "decay"  # 'decay' | 'reset'
     prune_mode: str = "weight"         # 'weight' | 'threshold'

@@ -29,6 +29,13 @@ class RasterStats(NamedTuple):
     frag_count: jax.Array   # [M] fragments with valid alpha
     err_sum: jax.Array      # [M] sum of per-fragment d_opacity
     err_square_sum: jax.Array  # [M] sum of squared per-fragment d_opacity
+    grad_norm: jax.Array    # [M] ||d mean2d||_ndc this iteration (the
+    #                         original-3DGS densify signal; the reference's
+    #                         Official controller reads a 'mean2d_grad'
+    #                         statistic that nothing produces --
+    #                         densify.py:123 -- so the semantics here follow
+    #                         Inria 3DGS: per-iteration NDC-grad norms
+    #                         averaged over visible iterations)
 
 
 def _segment(data, ids, m):
@@ -69,9 +76,17 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
             mean_pix, inv_cov, color4[:3], opacity, color4[3],
             table.sorted_point, table.sorted_tile, table.entry_valid,
             tiles_x, tile_h, tile_w)
-        out_tiles = raster_pallas.raster_forward_pallas(
-            packed.params, table.tile_start, table.tile_count,
-            tiles_total, tile_h, tile_w, interpret=interpret)
+        bt, bc = raster_pallas.block_tables(table, tiles_total)
+        out_raw = raster_pallas.raster_forward_pallas(
+            packed.params, bt, bc, tiles_total, tile_h, tile_w,
+            interpret=interpret)
+        # rows of never-visited (empty) tiles are uninitialized: zero the
+        # channels and set transmittance to 1 there
+        empty = table.tile_count <= 0
+        out_tiles = jnp.where(empty[:, None, None], 0.0,
+                              out_raw[:tiles_total])
+        out_tiles = out_tiles.at[:, 4, :].add(
+            jnp.where(empty, 1.0, 0.0)[:, None])
         residual = (packed.params, packed.mu_local, opacity, out_tiles)
         return out_tiles, residual
 
@@ -109,15 +124,18 @@ def _backward_entry_grads(params, out_tiles, d_color_t, d_trans_t, table,
     dtiles = jnp.concatenate([
         d_color_t, d_trans_t[:, None, :], d0[:, None, :],
         jnp.zeros_like(d0[:, None, :]).repeat(2, axis=1)], axis=1)
+    dtiles = jnp.pad(dtiles, ((0, 1), (0, 0), (0, 0)))  # padding-block row
+    bt, bc = raster_pallas.block_tables(table, tiles_total)
     return raster_pallas.raster_backward_pallas(
-        params, dtiles, table.tile_start, table.tile_count,
-        tiles_total, tile_h, tile_w, interpret=interpret)
+        params, dtiles, bt, bc, tiles_total, tile_h, tile_w,
+        interpret=interpret)
 
 
 def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
                  out_tiles_color, out_tiles_trans, d_tiles_color,
                  d_tiles_trans, tiles_total: int, tiles_x: int,
-                 tile_h: int, tile_w: int, backend: str = "pallas",
+                 tile_h: int, tile_w: int, img_h: int = 0, img_w: int = 0,
+                 backend: str = "pallas",
                  interpret: bool = False) -> RasterStats:
     """Per-point densification statistics from a loss cotangent.
 
@@ -151,9 +169,17 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
     g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
     op_e = jnp.maximum(jnp.take(opacity, table.sorted_point), 1e-12)
     ids = table.sorted_point
+    # positional gradient in NDC units (ndc_to_pixel: px = (x*.5+.5)*W)
+    conv = raster_pallas.moments_to_grads(
+        g16, packed.mu_local, packed.params[12:15, :e], op_e)
+    d_mean = _segment(conv["d_mean"].T, ids, m).T            # [2, M] pixel
+    sx = 0.5 * (img_w if img_w else tiles_x * tile_w)
+    sy = 0.5 * (img_h if img_h else (tiles_total // tiles_x) * tile_h)
+    grad_norm = jnp.sqrt((d_mean[0] * sx) ** 2 + (d_mean[1] * sy) ** 2)
     return RasterStats(
         weight_sum=_segment(g16[11], ids, m),
         frag_count=_segment(g16[12], ids, m),
         err_sum=_segment(g16[10] / op_e, ids, m),
         err_square_sum=_segment(g16[13] / (op_e * op_e), ids, m),
+        grad_norm=grad_norm,
     )

@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .raster_jnp import ALPHA_MAX, ALPHA_MIN, T_MIN
 
 G_BLK = 128          # gaussians per block (sublane-major)
-N_PIX = 128          # pixels per tile (lane-major); tile_h * tile_w == 128
+N_PIX = 128          # default pixels/tile; kernels support any multiple
+                     # of 128 (e.g. 256 for the reference's 16x16 tiles)
 PAR_ROWS = 16        # packed per-entry parameter rows
 OUT_ROWS = 8         # output tile rows: rgb, depth, T, (3 spare)
 GRAD_ROWS = 16       # per-entry gradient rows emitted by the backward
@@ -60,14 +61,15 @@ NEG_BIG = 60.0       # -0.5*Q' for padded entries => alpha ~ exp(-30)
 
 def _pixel_features(tile_h: int, tile_w: int):
     """h(p) = [1, x, y, x^2, xy, y^2] in tile-local coords, as
-    H [8, 128] (sublane-padded) and Hm [128, 8]."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, N_PIX), 1)
+    H [8, P] (sublane-padded) and Hm [P, 8]."""
+    npix = tile_h * tile_w
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
     x = (p % tile_w).astype(jnp.float32)
     y = (p // tile_w).astype(jnp.float32)
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     h = jnp.concatenate([one, x, y, x * x, x * y, y * y, zero, zero], axis=0)
-    pm = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
+    pm = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
     xm = (pm % tile_w).astype(jnp.float32)
     ym = (pm // tile_w).astype(jnp.float32)
     onem = jnp.ones_like(xm)
@@ -112,39 +114,44 @@ def _block_alpha(params_blk, h_feat, count_left):
 
 # ---------------------------------------------------------------------------
 # forward kernel
+#
+# Grid = one step per 128-entry BLOCK of the aligned table (not per tile):
+# empty tiles cost nothing, Pallas pipelines the 8 KB block fetches itself
+# (no manual DMA / while_loop), and per-grid-step overhead amortizes over
+# real work only.  Blocks of one tile are consecutive; the out BlockSpec
+# maps every block to its tile's output row (scalar-prefetched index map),
+# so Pallas keeps the row in VMEM across the tile's blocks (revisiting) and
+# the output row itself carries the blend state:
+#   rows 0:4 = accumulated channels, 4 = effective transmittance,
+#   5 = plain transmittance carry (zeroed after the tile's last block).
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tile_start, tile_count, params_hbm, out_ref,
-                buf, sem, *, tile_h, tile_w):
-    t = pl.program_id(0)
-    start = tile_start[t]
-    count = tile_count[t]
-    nblk = pl.cdiv(count, G_BLK)
-    h_feat, _ = _pixel_features(tile_h, tile_w)
-    tril_s = _tril(strict=True)
+def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    tile = bt_ref[b]
+    prev = bt_ref[jnp.maximum(b - 1, 0)]
+    nxt = bt_ref[jnp.minimum(b + 1, nb - 1)]
+    is_first = (b == 0) | (tile != prev)
+    is_last = (b == nb - 1) | (tile != nxt)
+    count_left = bc_ref[b]
 
-    def get_dma(slot, blk):
-        # tile_start is 128-aligned by construction (binning aligns every
-        # tile's segment); the hint lets Mosaic prove the slice is tiled
-        off = pl.multiple_of(start + blk * G_BLK, G_BLK)
-        return pltpu.make_async_copy(
-            params_hbm.at[:, pl.ds(off, G_BLK)],
-            buf.at[slot], sem.at[slot])
-
-    @pl.when(nblk > 0)
+    @pl.when(is_first)
     def _():
-        get_dma(0, 0).start()
+        npix = tile_h * tile_w
+        out_ref[0, 0:4, :] = jnp.zeros((4, npix), jnp.float32)
+        out_ref[0, 4:6, :] = jnp.ones((2, npix), jnp.float32)
+        out_ref[0, 6:8, :] = jnp.zeros((2, npix), jnp.float32)
 
-    def body(state):
-        blk, t_plain, t_eff, acc = state
-
-        @pl.when(blk + 1 < nblk)
-        def _():
-            get_dma((blk + 1) % 2, blk + 1).start()
-
-        get_dma(blk % 2, blk).wait()
-        pb = buf[blk % 2]
-        alpha, _, _ = _block_alpha(pb, h_feat, count - blk * G_BLK)
+    # skip saturated pixels' blocks entirely (raster.cu:260 early-out)
+    @pl.when((count_left > 0) & (jnp.max(out_ref[0, 4, :]) > T_MIN))
+    def _():
+        h_feat, _ = _pixel_features(tile_h, tile_w)
+        tril_s = _tril(strict=True)
+        t_plain = out_ref[0, 5:6, :]
+        t_eff = out_ref[0, 4:5, :]
+        pb = params_ref[:, :]
+        alpha, _, _ = _block_alpha(pb, h_feat, count_left)
 
         logt = jnp.log1p(-alpha)                       # [G, P]
         cum_excl = _dot(tril_s, logt)
@@ -153,7 +160,7 @@ def _fwd_kernel(tile_start, tile_count, params_hbm, out_ref,
         w = jnp.where(active, alpha * t_excl, 0.0)
 
         colors = pb[6:10, :]                           # [4, G] rgb + depth
-        acc = acc + _dot(colors, w)                    # [4, P] MXU
+        out_ref[0, 0:4, :] += _dot(colors, w)          # [4, P] MXU
 
         # effective (frozen) transmittance bookkeeping: the first plain
         # value <= T_MIN freezes (raster.cu:260-282 semantics)
@@ -163,76 +170,55 @@ def _fwd_kernel(tile_start, tile_count, params_hbm, out_ref,
                               keepdims=True)
         t_end = t_plain * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
         any_crossed = jnp.any(crossed, axis=0, keepdims=True)
-        t_eff = jnp.where(t_eff > T_MIN,
-                          jnp.where(any_crossed, first_below, t_end), t_eff)
-        return blk + 1, t_end, t_eff, acc
+        out_ref[0, 4:5, :] = jnp.where(
+            t_eff > T_MIN,
+            jnp.where(any_crossed, first_below, t_end), t_eff)
+        out_ref[0, 5:6, :] = t_end
 
-    def cond(state):
-        blk, _, t_eff, _ = state
-        return (blk < nblk) & (jnp.max(t_eff) > T_MIN)
-
-    init = (jnp.int32(0),
-            jnp.ones((1, N_PIX), jnp.float32),
-            jnp.ones((1, N_PIX), jnp.float32),
-            jnp.zeros((4, N_PIX), jnp.float32))
-    _, _, t_eff, acc = jax.lax.while_loop(cond, body, init)
-
-    out_ref[0, 0:4, :] = acc
-    out_ref[0, 4:5, :] = t_eff
-    out_ref[0, 5:8, :] = jnp.zeros((3, N_PIX), jnp.float32)
+    @pl.when(is_last)
+    def _():
+        out_ref[0, 5:8, :] = jnp.zeros((3, tile_h * tile_w), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
+#
+# Same block grid as the forward.  Re-walks blocks in forward order using
+# the saved per-tile output row (final color + transmittance): with suffix
+# sums the analytic dL/dalpha matches the CUDA reverse-order walk
+# (raster.cu:758-774).  The (t_plain, prefix) recursion carries across a
+# tile's consecutive blocks in VMEM scratch; per-entry gradient rows stream
+# out through a regular blocked out spec (no atomics -- the segment_sum to
+# points happens outside).
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_start, tile_count, params_hbm, dtile_ref, grad_hbm,
-                buf, gbuf, sem, gsem, *, tile_h, tile_w):
-    t = pl.program_id(0)
-    start = tile_start[t]
-    count = tile_count[t]
-    nblk = pl.cdiv(count, G_BLK)
-    h_feat, hm_feat = _pixel_features(tile_h, tile_w)
-    tril_s = _tril(strict=True)
-    tril_i = _tril(strict=False)
+def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
+                *, tile_h, tile_w):
+    b = pl.program_id(0)
+    tile = bt_ref[b]
+    prev = bt_ref[jnp.maximum(b - 1, 0)]
+    is_first = (b == 0) | (tile != prev)
+    count_left = bc_ref[b]
 
-    d_col = dtile_ref[0, 0:4, :]                    # [4, P] upstream dC
-    d0 = dtile_ref[0, 5:6, :]                       # [1, P] dC.C_tot+T dT
-
-    def get_dma(slot, blk):
-        off = pl.multiple_of(start + blk * G_BLK, G_BLK)
-        return pltpu.make_async_copy(
-            params_hbm.at[:, pl.ds(off, G_BLK)],
-            buf.at[slot], sem.at[slot])
-
-    def put_dma(slot, blk):
-        off = pl.multiple_of(start + blk * G_BLK, G_BLK)
-        return pltpu.make_async_copy(
-            gbuf.at[slot],
-            grad_hbm.at[:, pl.ds(off, G_BLK)],
-            gsem.at[slot])
-
-    @pl.when(nblk > 0)
+    @pl.when(is_first)
     def _():
-        get_dma(0, 0).start()
+        carry[0:1, :] = jnp.ones((1, tile_h * tile_w), jnp.float32)
+        carry[1:2, :] = jnp.zeros((1, tile_h * tile_w), jnp.float32)
 
-    def body(state):
-        blk, t_plain, prefix = state
+    grad_ref[:, :] = jnp.zeros((GRAD_ROWS, G_BLK), jnp.float32)
 
-        @pl.when(blk + 1 < nblk)
-        def _():
-            get_dma((blk + 1) % 2, blk + 1).start()
+    @pl.when(count_left > 0)
+    def _():
+        h_feat, hm_feat = _pixel_features(tile_h, tile_w)
+        tril_s = _tril(strict=True)
+        tril_i = _tril(strict=False)
+        d_col = dtile_ref[0, 0:4, :]                 # [4, P] upstream dC
+        d0 = dtile_ref[0, 5:6, :]                    # [1, P] dC.C_tot+T dT
+        t_plain = carry[0:1, :]
+        prefix = carry[1:2, :]
 
-        # the gradient buffer slot is recycled every 2 blocks: drain the
-        # in-flight store from block blk-2 before overwriting it
-        @pl.when(blk >= 2)
-        def _():
-            put_dma(blk % 2, blk - 2).wait()
-
-        get_dma(blk % 2, blk).wait()
-        pb = buf[blk % 2]
-        alpha, alpha_raw, thresh_ok = _block_alpha(
-            pb, h_feat, count - blk * G_BLK)
+        pb = params_ref[:, :]
+        alpha, alpha_raw, thresh_ok = _block_alpha(pb, h_feat, count_left)
 
         logt = jnp.log1p(-alpha)
         cum_excl = _dot(tril_s, logt)
@@ -266,31 +252,11 @@ def _bwd_kernel(tile_start, tile_count, params_hbm, dtile_ref, grad_hbm,
         d_color = jax.lax.dot_general(                 # [4, G]
             d_col, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        gbuf[blk % 2] = jnp.concatenate(
-            [d_color, side_t], axis=0)                 # [16, G]
-        put_dma(blk % 2, blk).start()
+        grad_ref[:, :] = jnp.concatenate([d_color, side_t], axis=0)
 
-        t_end = t_plain * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
-        prefix_end = prefix + jnp.sum(u, axis=0, keepdims=True)
-        return blk + 1, t_end, prefix_end
-
-    def cond(state):
-        blk = state[0]
-        return blk < nblk
-
-    init = (jnp.int32(0),
-            jnp.ones((1, N_PIX), jnp.float32),
-            jnp.zeros((1, N_PIX), jnp.float32))
-    final = jax.lax.while_loop(cond, body, init)
-    blk_done = final[0]
-
-    @pl.when(blk_done >= 2)
-    def _():
-        put_dma(blk_done % 2, blk_done - 2).wait()
-
-    @pl.when(blk_done >= 1)
-    def _():
-        put_dma((blk_done - 1) % 2, blk_done - 1).wait()
+        carry[0:1, :] = t_plain * jnp.exp(
+            jnp.sum(logt, axis=0, keepdims=True))
+        carry[1:2, :] = prefix + jnp.sum(u, axis=0, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -370,64 +336,89 @@ def moments_to_grads(grads16, mu_local, inv_cov_e, opacity_e):
     }
 
 
+def block_tables(table, tiles_total: int):
+    """Per-block (tile id, entries remaining) from the aligned table.
+
+    Block b covers entry slots [128b, 128b+128), all one tile (the binning
+    128-aligns segments); padding blocks get tile id == tiles_total and
+    count 0 so the kernels skip them and their output lands in a dummy row.
+    """
+    bt = table.sorted_tile[::G_BLK].astype(jnp.int32)        # [B]
+    safe = jnp.minimum(bt, tiles_total - 1)
+    start = jnp.take(table.tile_start, safe)
+    cnt = jnp.take(table.tile_count, safe)
+    boff = jnp.arange(bt.shape[0], dtype=jnp.int32) * G_BLK
+    cnt_left = jnp.where(bt < tiles_total, cnt - (boff - start), 0)
+    return bt, jnp.maximum(cnt_left, 0).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
                                              "tile_w", "interpret"))
-def raster_forward_pallas(params, tile_start, tile_count,
+def raster_forward_pallas(params, block_tile, block_cnt,
                           tiles_total: int, tile_h: int, tile_w: int,
                           interpret: bool = False):
-    """Run the forward kernel. Returns out_tiles [T, 8, 128]."""
+    """Run the forward kernel.
+
+    Returns out_tiles [T + 1, 8, 128]; rows of tiles with no entries are
+    UNINITIALIZED (the block grid never visits them) and row T is the
+    padding dump -- callers mask with tile_count (see ops/raster.py).
+    """
+    nb = block_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tiles_total,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, OUT_ROWS, N_PIX), lambda t, *_: (t, 0, 0),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((PAR_ROWS, G_BLK), lambda b, bt, bc: (0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, OUT_ROWS, tile_h * tile_w),
+                               lambda b, bt, bc: (bt[b], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, PAR_ROWS, G_BLK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((tiles_total, OUT_ROWS, N_PIX),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles_total + 1, OUT_ROWS, tile_h * tile_w), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, params)
+    )(block_tile, block_cnt, params)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
                                              "tile_w", "interpret"))
-def raster_backward_pallas(params, dtiles, tile_start, tile_count,
+def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
                            tiles_total: int, tile_h: int, tile_w: int,
                            interpret: bool = False):
-    """Run the backward kernel. Returns per-entry grads [16, E + 128].
+    """Run the backward kernel. Returns per-entry grads [16, E].
 
-    dtiles: [T, 8, 128] with rows 0..3 = upstream d(color/depth),
-            4 = upstream d(transmittance), 5 = D0' = dC.C_total + T_fin dT.
+    dtiles: [T + 1, 8, 128] with rows 0..3 = upstream d(color/depth),
+            4 = upstream d(transmittance), 5 = D0' = dC.C_total + T_fin dT
+            (row T is a zero pad the padding blocks read).
     """
-    e_pad = params.shape[1]
+    nb = block_tile.shape[0]
+    # Pre-expand the per-tile cotangent rows to per-block so the kernel's
+    # input index map is REGULAR (b) -- scalar-prefetch-dependent fetch
+    # maps defeat Pallas's pipelining and cost ~10-30us per index change
+    # on current hardware; a 12.5k-row XLA row-gather is far cheaper.
+    dtiles_blk = jnp.take(dtiles, block_tile, axis=0)     # [nb, 8, 128]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tiles_total,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, OUT_ROWS, N_PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAR_ROWS, G_BLK), lambda b, bt, bc: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, tile_h * tile_w),
+                         lambda b, bt, bc: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, PAR_ROWS, G_BLK), jnp.float32),
-            pltpu.VMEM((2, GRAD_ROWS, G_BLK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((GRAD_ROWS, G_BLK), lambda b, bt, bc: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, tile_h * tile_w), jnp.float32)],
     )
     kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, e_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, nb * G_BLK),
+                                       jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, params, dtiles)
+    )(block_tile, block_cnt, params, dtiles_blk)

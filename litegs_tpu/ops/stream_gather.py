@@ -1,0 +1,181 @@
+"""Streaming expansion / monotonic-gather Pallas kernels.
+
+XLA:TPU lowers random gathers and scatters at ~1/25th of streaming
+bandwidth, which made "replicate per-item attributes to per-entry slots"
+the dominant cost of binning + rasterizer packing.  These kernels exploit
+the structure the pipeline guarantees instead:
+
+* expansion owners are NON-DECREASING and CONSECUTIVE (every live item
+  emits >= 1 slot), so the owners of one 128-slot output block span at most
+  128 consecutive items: two adjacent 128-column input blocks always cover
+  them.  A block then needs one compare-matrix to decode (owner, rank) and
+  one intra-block lane gather (``take_along_axis``, a hardware shuffle) to
+  replicate -- no scatter, no scan, no random access;
+* the 128-alignment pass is a monotonic gather whose source indices
+  advance by exactly 1 inside a tile, handled the same way.
+
+This is the TPU counterpart of the reference's prefix-sum + scatter
+emission (binning.cu:33-110) and its gather-at-render of point attributes.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 128
+INT_BIG = jnp.int32(2**31 - 128)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def owner_of_slots(cum, slots):
+    """owner(slot) = first i with cum[i] > slot, via a branchless binary
+    search (few queries -- one per 128-slot block -- so the gather loop is
+    cheap here, unlike at full entry scale)."""
+    n = cum.shape[0]
+    steps = max(1, math.ceil(math.log2(n + 1)))
+    lo = jnp.zeros_like(slots, dtype=jnp.int32)
+    hi = jnp.full_like(slots, n, dtype=jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mid_val = jnp.take(cum, jnp.clip(mid, 0, n - 1))
+        go_right = (mid_val <= slots) & (lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right | (lo >= hi), hi, mid)
+    return jnp.minimum(lo, n - 1)
+
+
+def _window_gather(attrs0, attrs1, idx):
+    """out[:, j] = window[:, idx[0, j]] for a 256-wide window given as two
+    128-lane halves.  Mosaic's hardware lane gather is limited to one vreg
+    (128 lanes) along the gathered dimension, so gather each half and
+    select."""
+    a = attrs0.shape[0]
+    i0 = jnp.broadcast_to(jnp.clip(idx, 0, BLK - 1), (a, BLK))
+    i1 = jnp.broadcast_to(jnp.clip(idx - BLK, 0, BLK - 1), (a, BLK))
+    g0 = jnp.take_along_axis(attrs0, i0, axis=1)
+    g1 = jnp.take_along_axis(attrs1, i1, axis=1)
+    return jnp.where(jnp.broadcast_to(idx < BLK, (a, BLK)), g0, g1)
+
+
+def _expand_kernel(blo_ref, attrs0, attrs1, starts0, starts1,
+                   out_ref, rank_ref):
+    b = pl.program_id(0)
+    slots = (b * BLK
+             + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1))  # [1,128]
+    starts = jnp.concatenate([starts0[:, :], starts1[:, :]],
+                             axis=0)       # [256, 1] window of item starts
+    leq = starts <= slots                  # [256, 128]
+    cnt = jnp.sum(leq.astype(jnp.int32), axis=0, keepdims=True)   # [1,128]
+    owner_local = jnp.clip(cnt - 1, 0, 2 * BLK - 1)
+    start_at = jnp.max(jnp.where(leq, jnp.broadcast_to(starts, leq.shape),
+                                 jnp.int32(-1)), axis=0, keepdims=True)
+    rank_ref[:, :] = slots - start_at
+    out_ref[:, :] = _window_gather(attrs0[:, :], attrs1[:, :], owner_local)
+
+
+@functools.partial(jax.jit, static_argnames=("out_len", "interpret"))
+def expand_attrs(attrs, counts, out_len: int, interpret: bool = False):
+    """Replicate per-item attribute rows into flat expansion slots.
+
+    Args:
+      attrs:  [A, S] f32 per-item rows (A a multiple of 8).
+      counts: [S] int32 per-item slot counts.  Items with count > 0 MUST
+        form a contiguous prefix (the callers sort empties to the tail).
+      out_len: static output slots (multiple of 128).
+    Returns:
+      (out [A, out_len], rank [out_len] int32, total scalar int32).
+      Slots past ``total`` hold arbitrary values; callers mask.
+    """
+    a, s = attrs.shape
+    counts = jax.lax.optimization_barrier(counts.astype(jnp.int32))
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    starts = cum - counts
+    nb = out_len // BLK
+    blk_lo = owner_of_slots(cum, jnp.arange(nb, dtype=jnp.int32) * BLK)
+
+    s_pad = _round_up(s, BLK) + BLK
+    attrs_p = jnp.pad(attrs, ((0, 0), (0, s_pad - s)))
+    # pad starts with INT_BIG so window counts ignore the dead tail
+    starts_t = jnp.pad(starts, (0, s_pad - s),
+                       constant_values=INT_BIG)[:, None]   # [s_pad, 1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((a, BLK), lambda b, lo: (0, lo[b] // BLK),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, BLK), lambda b, lo: (0, lo[b] // BLK + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 1), lambda b, lo: (lo[b] // BLK, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 1), lambda b, lo: (lo[b] // BLK + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((a, BLK), lambda b, lo: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), lambda b, lo: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out, rank = pl.pallas_call(
+        _expand_kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((a, out_len), jnp.float32),
+                   jax.ShapeDtypeStruct((1, out_len), jnp.int32)),
+        interpret=interpret,
+    )(blk_lo, attrs_p, attrs_p, starts_t, starts_t)
+    return out, rank[0], total
+
+
+def _monotonic_kernel(slo_ref, attrs0, attrs1, out_ref):
+    b = pl.program_id(0)
+    src_lo = slo_ref[b]
+    w0 = (src_lo // BLK) * BLK
+    local = (src_lo - w0
+             + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1))  # [1,128]
+    out_ref[:, :] = _window_gather(attrs0[:, :], attrs1[:, :],
+                                   jnp.clip(local, 0, 2 * BLK - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_blocks(attrs, src_lo, interpret: bool = False):
+    """Gather 128-wide runs: out[:, 128b+j] = attrs[:, src_lo[b]+j].
+
+    The 128-alignment pass of the binning table is exactly this shape (each
+    aligned block reads one tile's consecutive unaligned entries).
+    """
+    a, s = attrs.shape
+    nb = src_lo.shape[0]
+    s_pad = _round_up(s, BLK) + BLK
+    attrs_p = jnp.pad(attrs, ((0, 0), (0, s_pad - s)))
+    src_lo = jnp.clip(src_lo.astype(jnp.int32), 0, s - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((a, BLK), lambda b, lo: (0, lo[b] // BLK),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, BLK), lambda b, lo: (0, lo[b] // BLK + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((a, BLK), lambda b, lo: (0, b),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _monotonic_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((a, nb * BLK), jnp.float32),
+        interpret=interpret,
+    )(src_lo, attrs_p, attrs_p)

@@ -43,9 +43,30 @@ from ..utils import math as um
 DATA_AXIS = "data"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with the standard
+    TPU-pod auto-detection (no-op on a single host).
+
+    After this, ``jax.devices()`` spans the whole slice and ``make_mesh()``
+    builds a global camera-data mesh: gradient psum rides ICI within a host
+    and DCN only for the cross-host hops of the all-reduce; the epoch-
+    boundary densification runs on replicated state so no resharding or
+    extra DCN traffic is needed.  Returns the global device count.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+    return len(jax.devices())
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D device mesh over the first ``n_devices`` local devices."""
+    """1-D device mesh over the first ``n_devices`` (global) devices."""
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
@@ -145,7 +166,7 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             rstats = raster_ops.raster_stats(
                 aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
                 aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
-                tiles_total, tiles_x, tile_h, tile_w,
+                tiles_total, tiles_x, tile_h, tile_w, img_h, img_w,
                 backend=pp.raster_backend, interpret=interpret)
             zero = statistics.init_stats(caps.primitive_capacity)
             delta = statistics.update_stats(

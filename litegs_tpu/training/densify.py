@@ -110,26 +110,36 @@ def split_and_clone(params: GaussianParams, adam: AdamState,
     idx = jnp.arange(n)
     active_mask = idx < active_count
 
-    prune_num = jnp.sum(get_prune_mask(params, stats, active_mask, dp))
-    span = max(densify_until - dp.densify_from, 1)
-    cur_target = ((dp.target_primitives - init_points_num) / span
-                  * (epoch - dp.densify_from) + init_points_num)
-    budget = jnp.minimum(
-        jnp.maximum((cur_target - active_count).astype(jnp.int32), 1)
-        + prune_num, active_count)
-    # never grow past capacity (static-shape guard; reference reallocates)
-    budget = jnp.minimum(budget, n - active_count)
-    budget = (budget // chunk_size) * chunk_size  # chunk-multiple append
+    if dp.densify_mode == "official":
+        # original-3DGS criterion: mean NDC positional-gradient norm over
+        # the statistics window >= threshold (no primitive budget)
+        mean_grad = statistics.mean_grad_norm(stats)
+        want = (mean_grad >= dp.densify_grad_threshold) & active_mask
+        budget = jnp.minimum(jnp.sum(want), n - active_count)
+        budget = (budget // chunk_size) * chunk_size
+        rank_of = jnp.cumsum(want) - 1
+        selected = want & (rank_of < budget)
+    else:
+        prune_num = jnp.sum(get_prune_mask(params, stats, active_mask, dp))
+        span = max(densify_until - dp.densify_from, 1)
+        cur_target = ((dp.target_primitives - init_points_num) / span
+                      * (epoch - dp.densify_from) + init_points_num)
+        budget = jnp.minimum(
+            jnp.maximum((cur_target - active_count).astype(jnp.int32), 1)
+            + prune_num, active_count)
+        # never grow past capacity (static guard; reference reallocates)
+        budget = jnp.minimum(budget, n - active_count)
+        budget = (budget // chunk_size) * chunk_size  # chunk-mult append
 
-    # Gumbel top-k == multinomial without replacement (densify.py:308)
-    score = get_score(params, stats, active_mask)
-    gumbel = -jnp.log(-jnp.log(
-        jax.random.uniform(key, (n,), minval=1e-10, maxval=1.0)))
-    sample_key = jnp.where(score > 0, jnp.log(score) + gumbel, -jnp.inf)
-    order = jnp.argsort(-sample_key)
-    rank_of = jnp.zeros(n, jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
-    selected = (rank_of < budget) & (score > 0)
+        # Gumbel top-k == multinomial without replacement (densify.py:308)
+        score = get_score(params, stats, active_mask)
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(key, (n,), minval=1e-10, maxval=1.0)))
+        sample_key = jnp.where(score > 0, jnp.log(score) + gumbel, -jnp.inf)
+        order = jnp.argsort(-sample_key)
+        rank_of = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        selected = (rank_of < budget) & (score > 0)
 
     # split vs clone by world extent (densify.py:309-310)
     max_scale = jnp.max(jnp.exp(params.scale), axis=0)

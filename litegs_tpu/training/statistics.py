@@ -32,6 +32,9 @@ class StatsState(NamedTuple):
     err_sum: jax.Array         # [N]
     err_sq_sum: jax.Array      # [N]
     frag_count: jax.Array      # [N]
+    grad_norm_sum: jax.Array   # [N] accumulated ||d mean2d||_ndc (the
+    #                            original-3DGS densify signal; feeds the
+    #                            'official' controller mode)
 
 
 def init_stats(capacity: int) -> StatsState:
@@ -41,7 +44,7 @@ def init_stats(capacity: int) -> StatsState:
 
     return StatsState(visible_count=jnp.zeros((capacity,), jnp.int32),
                       weight_sum=z(), weight_sq_sum=z(), err_sum=z(),
-                      err_sq_sum=z(), frag_count=z())
+                      err_sq_sum=z(), frag_count=z(), grad_norm_sum=z())
 
 
 def global_indices(chunk_ids, chunk_size: int):
@@ -78,6 +81,7 @@ def update_stats(stats: StatsState, chunk_ids, valid_mask,
         err_sum=add(stats.err_sum, raster_stats.err_sum),
         err_sq_sum=add(stats.err_sq_sum, raster_stats.err_square_sum),
         frag_count=add(stats.frag_count, raster_stats.frag_count),
+        grad_norm_sum=add(stats.grad_norm_sum, raster_stats.grad_norm),
     )
 
 
@@ -93,3 +97,10 @@ def err_variance(stats: StatsState):
 
 def permute(stats: StatsState, perm) -> StatsState:
     return StatsState(*[jnp.take(x, perm) for x in stats])
+
+
+def mean_grad_norm(stats: StatsState):
+    """Mean per-iteration NDC positional-gradient norm (the original-3DGS
+    densify criterion: accumulated norms / times visible)."""
+    return stats.grad_norm_sum / jnp.maximum(
+        stats.visible_count.astype(jnp.float32), 1.0)

@@ -149,7 +149,7 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             rstats = raster_ops.raster_stats(
                 aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
                 aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
-                tiles_total, tiles_x, tile_h, tile_w,
+                tiles_total, tiles_x, tile_h, tile_w, img_h, img_w,
                 backend=pp.raster_backend, interpret=interpret)
             stats = statistics.update_stats(
                 stats, culled.chunk_ids, culled.valid,

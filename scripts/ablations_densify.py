@@ -16,7 +16,8 @@ def main(argv=None):
     args, extra = parser.parse_known_args(argv)
     variants = {
         "tamings": [],
-        "official_adc": ["--densification_interval", "1",
+        "official_adc": ["--densify_mode", "official",
+                         "--densification_interval", "1",
                          "--opacity_reset_interval", "20",
                          "--opacity_reset_mode", "reset",
                          "--prune_mode", "threshold"],

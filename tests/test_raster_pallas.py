@@ -102,3 +102,12 @@ def test_stats():
     np.testing.assert_allclose(stats.err_sum / scale, g_op / scale,
                                atol=2e-4)
     assert np.all(np.asarray(stats.err_square_sum) >= 0)
+    # positional-gradient norm (official-densify signal) must match the
+    # autodiff mean gradient converted to NDC units
+    g_mean = jax.grad(_loss_fn("jnp", table, dcol, dtrans), argnums=0)(*args)
+    sx, sy = 0.5 * TILES_X * TILE_W, 0.5 * (TILES_TOTAL // TILES_X) * TILE_H
+    want = np.sqrt((np.asarray(g_mean[0]) * sx) ** 2
+                   + (np.asarray(g_mean[1]) * sy) ** 2)
+    gscale = want.max() + 1e-6
+    np.testing.assert_allclose(np.asarray(stats.grad_norm) / gscale,
+                               want / gscale, atol=2e-3)
