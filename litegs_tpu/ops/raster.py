@@ -3,19 +3,22 @@ kernels and the pure-jnp reference path.
 
 The Pallas backend wires the hand-written backward kernel in via
 ``jax.custom_vjp``; per-entry gradients are reduced to per-point gradients
-with ``segment_sum`` (the TPU replacement for the reference's atomicAdd
-accumulation into PackedGrad, raster.cu:794-849).
+with ONE multi-column ``segment_sum`` (the TPU replacement for the
+reference's atomicAdd accumulation into PackedGrad, raster.cu:794-849;
+a single [E, 10] reduction measures ~2x faster than ten 1-D ones).
 
 Statistics (per-point fragment weight/count and opacity-gradient moments
 feeding densification, reference raster.cu:289-301,779-820 +
 wrapper.py:496-500) are NOT a hidden side effect of backward here -- JAX is
 functional -- but an explicit ``raster_stats`` pass the trainer runs on
-statistics epochs with the loss's image cotangent.
+statistics epochs with the loss's image cotangent.  The expensive
+per-entry packing is shared: ``rasterize`` returns a cache the trainer
+threads back into ``raster_stats``.
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +41,28 @@ class RasterStats(NamedTuple):
     #                         averaged over visible iterations)
 
 
+class RasterCache(NamedTuple):
+    """Non-differentiable per-entry state shared by fwd / bwd / stats."""
+
+    packed: raster_pallas.PackedEntries
+    block_tile: jax.Array
+    block_cnt: jax.Array
+
+
 def _segment(data, ids, m):
     return jax.ops.segment_sum(data, ids, num_segments=m)
+
+
+def build_cache(mean_pix, inv_cov, color4, opacity, table: BinningResult,
+                tiles_total: int, tiles_x: int, tile_h: int,
+                tile_w: int) -> RasterCache:
+    sg = jax.lax.stop_gradient
+    packed = raster_pallas.pack_entry_params(
+        sg(mean_pix), sg(inv_cov), sg(color4[:3]), sg(opacity),
+        sg(color4[3]), table.sorted_point, table.sorted_tile,
+        table.entry_valid, tiles_x, tile_h, tile_w)
+    bt, bc = raster_pallas.block_tables(table, tiles_total)
+    return RasterCache(packed=packed, block_tile=bt, block_cnt=bc)
 
 
 def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
@@ -54,7 +77,7 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
       opacity:  [M] activated opacities (differentiable).
       table:    binning result (non-differentiable).
     Returns:
-      (tiles_color [T, C, 128], tiles_trans [T, 128])
+      (tiles_color [T, C, P], tiles_trans [T, P], cache or None)
     """
     nchan, m = color.shape
     if backend == "jnp":
@@ -62,9 +85,11 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
             mean_pix, inv_cov, color, opacity, table.sorted_point,
             table.sorted_tile, table.entry_valid, table.tile_start,
             tiles_total, tiles_x, tile_h, tile_w)
-        return out.tiles_color, out.tiles_trans
+        return out.tiles_color, out.tiles_trans, None
 
     color4 = color if nchan == 4 else jnp.pad(color, ((0, 4 - nchan), (0, 0)))
+    cache = build_cache(mean_pix, inv_cov, color4, opacity, table,
+                        tiles_total, tiles_x, tile_h, tile_w)
 
     @jax.custom_vjp
     def _raster(mean_pix, inv_cov, color4, opacity):
@@ -72,14 +97,9 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
         return out_tiles
 
     def _raster_fwd(mean_pix, inv_cov, color4, opacity):
-        packed = raster_pallas.pack_entry_params(
-            mean_pix, inv_cov, color4[:3], opacity, color4[3],
-            table.sorted_point, table.sorted_tile, table.entry_valid,
-            tiles_x, tile_h, tile_w)
-        bt, bc = raster_pallas.block_tables(table, tiles_total)
         out_raw = raster_pallas.raster_forward_pallas(
-            packed.params, bt, bc, tiles_total, tile_h, tile_w,
-            interpret=interpret)
+            cache.packed.params, cache.block_tile, cache.block_cnt,
+            tiles_total, tile_h, tile_w, interpret=interpret)
         # rows of never-visited (empty) tiles are uninitialized: zero the
         # channels and set transmittance to 1 there
         empty = table.tile_count <= 0
@@ -87,36 +107,36 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
                               out_raw[:tiles_total])
         out_tiles = out_tiles.at[:, 4, :].add(
             jnp.where(empty, 1.0, 0.0)[:, None])
-        residual = (packed.params, packed.mu_local, opacity, out_tiles)
-        return out_tiles, residual
+        return out_tiles, out_tiles
 
-    def _raster_bwd(residual, d_out):
-        params, mu_local, opacity, out_tiles = residual
+    def _raster_bwd(out_tiles, d_out):
         d_color_t = d_out[:, 0:4, :]
         d_trans_t = d_out[:, 4, :]
         grads16 = _backward_entry_grads(
-            params, out_tiles, d_color_t, d_trans_t, table,
+            cache, out_tiles, d_color_t, d_trans_t,
             tiles_total, tile_h, tile_w, interpret)
         e = table.sorted_point.shape[0]
-        valid = table.entry_valid
-        g16 = jnp.where(valid[None, :], grads16[:, :e], 0.0)
-        inv_cov_e = params[12:15, :e]
-        op_e = jnp.take(opacity, table.sorted_point)
-        conv = raster_pallas.moments_to_grads(g16, mu_local, inv_cov_e, op_e)
+        g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
+        params = cache.packed.params
+        conv = raster_pallas.moments_to_grads(
+            g16, cache.packed.mu_local, params[12:15, :e], params[15, :e])
         ids = table.sorted_point
-        d_color = _segment(conv["d_color"].T, ids, m).T
-        d_invcov = _segment(conv["d_invcov"].T, ids, m).T
-        d_mean = _segment(conv["d_mean"].T, ids, m).T
-        d_op = _segment(conv["d_opacity"], ids, m)
-        return d_mean, d_invcov, d_color, d_op
+        # one fused [E, 10] reduction: d_color(4), d_invcov(3), d_mean(2),
+        # d_opacity(1)
+        stacked = jnp.concatenate(
+            [conv["d_color"], conv["d_invcov"], conv["d_mean"],
+             conv["d_opacity"][None]], axis=0).T
+        red = _segment(stacked, ids, m).T                    # [10, M]
+        return red[7:9], red[4:7], red[0:4], red[9]
 
     _raster.defvjp(_raster_fwd, _raster_bwd)
     out_tiles = _raster(mean_pix, inv_cov, color4, opacity)
-    return out_tiles[:, 0:nchan, :], out_tiles[:, 4, :]
+    return out_tiles[:, 0:nchan, :], out_tiles[:, 4, :], cache
 
 
-def _backward_entry_grads(params, out_tiles, d_color_t, d_trans_t, table,
-                          tiles_total, tile_h, tile_w, interpret):
+def _backward_entry_grads(cache: RasterCache, out_tiles, d_color_t,
+                          d_trans_t, tiles_total, tile_h, tile_w,
+                          interpret):
     """Assemble the backward kernel input tiles and run it."""
     acc = out_tiles[:, 0:4, :]
     t_fin = out_tiles[:, 4, :]
@@ -125,24 +145,24 @@ def _backward_entry_grads(params, out_tiles, d_color_t, d_trans_t, table,
         d_color_t, d_trans_t[:, None, :], d0[:, None, :],
         jnp.zeros_like(d0[:, None, :]).repeat(2, axis=1)], axis=1)
     dtiles = jnp.pad(dtiles, ((0, 1), (0, 0), (0, 0)))  # padding-block row
-    bt, bc = raster_pallas.block_tables(table, tiles_total)
     return raster_pallas.raster_backward_pallas(
-        params, dtiles, bt, bc, tiles_total, tile_h, tile_w,
-        interpret=interpret)
+        cache.packed.params, dtiles, cache.block_tile, cache.block_cnt,
+        tiles_total, tile_h, tile_w, interpret=interpret)
 
 
 def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
                  out_tiles_color, out_tiles_trans, d_tiles_color,
                  d_tiles_trans, tiles_total: int, tiles_x: int,
                  tile_h: int, tile_w: int, img_h: int = 0, img_w: int = 0,
-                 backend: str = "pallas",
-                 interpret: bool = False) -> RasterStats:
+                 backend: str = "pallas", interpret: bool = False,
+                 cache: Optional[RasterCache] = None) -> RasterStats:
     """Per-point densification statistics from a loss cotangent.
 
     Functional analogue of the reference's in-backward statistic
     accumulation: weight_sum / frag_count (raster.cu:289-301) and the
     opacity-gradient first/second moments ("fragment_err",
-    raster.cu:779-820, wrapper.py:496-500).
+    raster.cu:779-820, wrapper.py:496-500).  Pass the ``cache`` returned by
+    :func:`rasterize` to skip re-packing the entry table.
     """
     if backend == "jnp":
         # the backward kernel is the only implementation of the fragment
@@ -158,28 +178,28 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
         [acc4, out_tiles_trans[:, None, :],
          jnp.zeros_like(out_tiles_trans[:, None, :]).repeat(3, axis=1)],
         axis=1)
-    packed = raster_pallas.pack_entry_params(
-        mean_pix, inv_cov, color4[:3], opacity, color4[3],
-        table.sorted_point, table.sorted_tile, table.entry_valid,
-        tiles_x, tile_h, tile_w)
+    if cache is None:
+        cache = build_cache(mean_pix, inv_cov, color4, opacity, table,
+                            tiles_total, tiles_x, tile_h, tile_w)
     grads16 = _backward_entry_grads(
-        packed.params, out_tiles, d4, d_tiles_trans, table,
+        cache, out_tiles, d4, d_tiles_trans,
         tiles_total, tile_h, tile_w, interpret)
     e = table.sorted_point.shape[0]
     g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
-    op_e = jnp.maximum(jnp.take(opacity, table.sorted_point), 1e-12)
+    params = cache.packed.params
+    op_e = jnp.maximum(params[15, :e], 1e-12)
     ids = table.sorted_point
-    # positional gradient in NDC units (ndc_to_pixel: px = (x*.5+.5)*W)
     conv = raster_pallas.moments_to_grads(
-        g16, packed.mu_local, packed.params[12:15, :e], op_e)
-    d_mean = _segment(conv["d_mean"].T, ids, m).T            # [2, M] pixel
+        g16, cache.packed.mu_local, params[12:15, :e], op_e)
+    # one fused [E, 6] reduction: weight, count, err, err2, d_mean(2)
+    stacked = jnp.stack(
+        [g16[11], g16[12], g16[10] / op_e, g16[13] / (op_e * op_e),
+         conv["d_mean"][0], conv["d_mean"][1]], axis=1)
+    red = _segment(stacked, ids, m).T                       # [6, M]
+    # positional gradient in NDC units (ndc_to_pixel: px = (x*.5+.5)*W)
     sx = 0.5 * (img_w if img_w else tiles_x * tile_w)
     sy = 0.5 * (img_h if img_h else (tiles_total // tiles_x) * tile_h)
-    grad_norm = jnp.sqrt((d_mean[0] * sx) ** 2 + (d_mean[1] * sy) ** 2)
-    return RasterStats(
-        weight_sum=_segment(g16[11], ids, m),
-        frag_count=_segment(g16[12], ids, m),
-        err_sum=_segment(g16[10] / op_e, ids, m),
-        err_square_sum=_segment(g16[13] / (op_e * op_e), ids, m),
-        grad_norm=grad_norm,
-    )
+    grad_norm = jnp.sqrt((red[4] * sx) ** 2 + (red[5] * sy) ** 2)
+    return RasterStats(weight_sum=red[0], frag_count=red[1],
+                       err_sum=red[2], err_square_sum=red[3],
+                       grad_norm=grad_norm)

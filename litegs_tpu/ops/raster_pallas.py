@@ -280,7 +280,7 @@ def pack_entry_params(mean_pix, inv_cov, color, opacity, depth,
             folded into row 0;  6,7 pad (zero)
       6..9: r, g, b, depth   (colors overwrite the pad rows 6,7 -- rows are
             0:f1 1:fx 2:fy 3:fxx 4:fxy 5:fyy, colors live at 6..9)
-      10,11: tile-local mu_x, mu_y;  12,13,14: a, b, c;  15: zero
+      10,11: tile-local mu_x, mu_y;  12,13,14: a, b, c;  15: opacity
     """
     def g(arr):
         return jnp.take(arr, sorted_point, axis=-1)
@@ -300,7 +300,7 @@ def pack_entry_params(mean_pix, inv_cov, color, opacity, depth,
     depth_row = zeros if depth is None else g(depth)
     rows = [f1, fx, fy, a, 2.0 * b, c,
             g(color[0]), g(color[1]), g(color[2]), depth_row,
-            mx, my, a, b, c, zeros]
+            mx, my, a, b, c, op]
     params = jnp.stack(rows, axis=0)
     params = jnp.pad(params, ((0, 0), (0, G_BLK)))
     return PackedEntries(params=params, mu_local=jnp.stack([mx, my]),

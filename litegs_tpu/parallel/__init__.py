@@ -167,7 +167,8 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
                 aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
                 tiles_total, tiles_x, tile_h, tile_w, img_h, img_w,
-                backend=pp.raster_backend, interpret=interpret)
+                backend=pp.raster_backend, interpret=interpret,
+                cache=aux.cache)
             zero = statistics.init_stats(caps.primitive_capacity)
             delta = statistics.update_stats(
                 zero, culled.chunk_ids, culled.valid,

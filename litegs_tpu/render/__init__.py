@@ -46,8 +46,9 @@ class RenderAux(NamedTuple):
     inv_cov: jax.Array
     color_chan: jax.Array
     opacity: jax.Array
-    tiles_color: jax.Array   # unclamped accumulation [T, C, 128]
-    tiles_trans: jax.Array   # [T, 128]
+    tiles_color: jax.Array   # unclamped accumulation [T, C, P]
+    tiles_trans: jax.Array   # [T, P]
+    cache: object            # RasterCache (pallas backend) or None
 
 
 class RenderedView(NamedTuple):
@@ -157,7 +158,7 @@ def render(culled: CulledGaussians, view_matrix, proj_matrix,
         channels.append(view_z[None])
     color_chan = jnp.concatenate(channels, axis=0)
 
-    tiles_color, tiles_trans = raster_ops.rasterize(
+    tiles_color, tiles_trans, cache = raster_ops.rasterize(
         mean_pix, inv_cov, color_chan, culled.opacity, table,
         tiles_total, tiles_x, tile_h, tile_w,
         backend=pp.raster_backend, interpret=interpret)
@@ -172,7 +173,8 @@ def render(culled: CulledGaussians, view_matrix, proj_matrix,
 
     aux = RenderAux(table=table, mean_pix=mean_pix, inv_cov=inv_cov,
                     color_chan=color_chan, opacity=culled.opacity,
-                    tiles_color=tiles_color, tiles_trans=tiles_trans)
+                    tiles_color=tiles_color, tiles_trans=tiles_trans,
+                    cache=cache)
     # actual sizes this view consumed -- the feedback signal for capacity
     # bucketing (the reference's pinned-memory feedback buffers,
     # data.py:236-245; here a device vector read lazily by the trainer)

@@ -150,7 +150,8 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
                 aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
                 tiles_total, tiles_x, tile_h, tile_w, img_h, img_w,
-                backend=pp.raster_backend, interpret=interpret)
+                backend=pp.raster_backend, interpret=interpret,
+                cache=aux.cache)
             stats = statistics.update_stats(
                 stats, culled.chunk_ids, culled.valid,
                 out.primitive_visible, rstats, chunk_size)
@@ -161,6 +162,10 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             "overflow": out.overflow,
             "sizes": out.sizes,
         }
+        if collect_stats:
+            # per-tile blend depth (reference update_tile_blend_count,
+            # statistic_helper.py:68-79; feeds complexity_sorted_tiles)
+            metrics["tile_count"] = out.aux.table.tile_count
         return new_state, stats, pose, metrics
 
     donate = (0, 1, 9) if learnable_pose else (0, 1)
@@ -216,6 +221,11 @@ class Trainer:
         self.size_feedback = None
         self.overflow_last_epoch = False
         self.pose_state = None
+        # per-tile max blend count over the last statistics epoch (the
+        # reference's tile-complexity telemetry; on TPU the raster grid is
+        # sequential so no launch reordering is needed -- kept as parity +
+        # diagnostics)
+        self.tile_blend_max = None
         if self.op.learnable_viewproj:
             assert self.extr_init is not None, \
                 "learnable_viewproj requires extr_init ([F,7] per frame)"
@@ -309,6 +319,9 @@ class Trainer:
         self.overflow_count += n_over
         self.overflow_last_epoch = n_over > 0
         sizes_max = np.max(np.stack([g["sizes"] for g in got]), axis=0)
+        if "tile_count" in got[0]:
+            self.tile_blend_max = np.max(
+                np.stack([g["tile_count"] for g in got]), axis=0)
         if self.size_feedback is None:
             self.size_feedback = sizes_max
         else:
@@ -379,6 +392,14 @@ class Trainer:
                   f"({self.total_epochs * self.n_frames} iterations, "
                   f"overflows={self.overflow_count})", flush=True)
         return state, stats, history
+
+    def complexity_sorted_tiles(self):
+        """Tile ids in descending blend-depth order from the last
+        statistics epoch (reference StatisticsHelper sorted tile list,
+        statistic_helper.py:68-79), or None before any stats epoch."""
+        if self.tile_blend_max is None:
+            return None
+        return np.argsort(-self.tile_blend_max)
 
     def evaluate(self, state: TrainState, data: CameraBatch,
                  epoch: int) -> float:

@@ -28,9 +28,10 @@ def build_scene(n=60, seed=0, caps=(8192, 8192), scale_px=(1.0, 8.0)):
 
 
 def _run(backend, args, table, interpret=True):
-    return raster.rasterize(*args, table, TILES_TOTAL, TILES_X,
-                            TILE_H, TILE_W, backend=backend,
-                            interpret=interpret)
+    col, trans, _ = raster.rasterize(*args, table, TILES_TOTAL, TILES_X,
+                                     TILE_H, TILE_W, backend=backend,
+                                     interpret=interpret)
+    return col, trans
 
 
 def test_forward_parity():

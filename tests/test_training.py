@@ -118,3 +118,14 @@ def test_prune_compacts_and_appends():
     # pruned block compacted away: survivors [128:384) moved to the front
     np.testing.assert_allclose(np.asarray(p2.xyz)[:, :128],
                                np.asarray(params.xyz)[:, 128:256])
+
+
+def test_tile_blend_stats_collected():
+    trainer, init_xyz, init_color = small_setup(iterations=24,
+                                                densify_from=1, interval=1)
+    state, stats, hist = trainer.train(init_xyz, init_color, verbose=False)
+    order = trainer.complexity_sorted_tiles()
+    assert order is not None
+    tb = trainer.tile_blend_max
+    assert tb.ndim == 1 and tb.sum() > 0
+    assert tb[order[0]] == tb.max()
