@@ -47,11 +47,24 @@ def make_cameras(n_frames: int, img_h: int, img_w: int,
 
 
 def make_gaussian_cloud(n_points: int, seed: int = 0, extent: float = 1.5):
-    """Random seed point cloud (positions in a ball, random colors)."""
+    """Random seed point cloud: positions in a ball, colors from a smooth
+    spatial field.
+
+    Colors follow low-frequency functions of position (plus small noise)
+    rather than iid noise: iid colors make the rendered images white-noise-
+    like, where the L1+SSIM objective and PSNR decouple and convergence
+    can't be judged; a smooth field matches the statistics of real scenes.
+    """
     rng = np.random.default_rng(seed)
     xyz = rng.normal(size=(n_points, 3)).astype(np.float32)
     xyz *= extent / np.maximum(np.linalg.norm(xyz, axis=1, keepdims=True), 1)
     r = rng.random((n_points, 1)).astype(np.float32) ** (1 / 3)
     xyz = xyz * r
-    color = rng.random((n_points, 3)).astype(np.float32)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    base = np.stack([
+        0.5 + 0.38 * np.sin(2.1 * x + 0.3) * np.cos(1.7 * z),
+        0.5 + 0.38 * np.sin(1.3 * y + 1.1) * np.cos(2.3 * x),
+        0.5 + 0.38 * np.sin(1.9 * z + 2.0) * np.cos(1.1 * y)], axis=1)
+    noise = rng.normal(scale=0.05, size=(n_points, 3))
+    color = np.clip(base + noise, 0.0, 1.0).astype(np.float32)
     return xyz, color

@@ -38,8 +38,8 @@ def make_task(n_points=600, n_frames=8, img_h=64, img_w=96, sh_degree=2,
     caps_gt = cfg.CapacityParams(
         primitive_capacity=cfg.round_up(n_points, 128),
         visible_capacity=cfg.round_up(n_points, 128),
-        row_capacity=cfg.round_up(n_points * 8, 128),
-        entry_capacity=cfg.round_up(max(n_points * 24, 1 << 14), 128))
+        row_capacity=cfg.round_up(max(n_points * 12, 1 << 14), 128),
+        entry_capacity=cfg.round_up(max(n_points * 48, 1 << 15), 128))
     pp = cfg.PipelineParams(raster_backend=backend)
     gt_padded = pad_params(gt_params, caps_gt.primitive_capacity)
     batch = camera_batch_from_frames(

@@ -26,21 +26,30 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
 
 
 def _blur(img, window):
-    """Separable same-padding Gaussian blur; img [C, H, W]."""
-    w = jnp.asarray(window)
+    """Separable same-padding Gaussian blur; img [C, H, W].
+
+    Implemented as static shift-adds rather than ``lax.conv``: XLA:TPU
+    evaluates f32 convolutions in bf16 by default, and the bf16 error blows
+    up catastrophically through SSIM's E[x^2] - mu^2 cancellation (measured
+    ssim 0.154 vs the true 0.102 on identical inputs, with per-image values
+    beyond 4.0).  Shift-adds are exact f32 and fuse into one VPU pass.
+    """
+    w = np.asarray(window)
     k = w.shape[0]
-    x = img[:, None]                                   # [C, 1, H, W]
-    kh = w.reshape(1, 1, k, 1)
-    kw = w.reshape(1, 1, 1, k)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    pad_h = [(k // 2, k // 2), (0, 0)]
-    pad_w = [(0, 0), (k // 2, k // 2)]
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), pad_h,
-                                     dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), pad_w,
-                                     dimension_numbers=dn)
-    return x[:, 0]
+    r = k // 2
+
+    def conv_axis(x, axis):
+        xp = jnp.pad(x, [(0, 0) if a != axis else (r, r)
+                         for a in range(x.ndim)])
+        n = x.shape[axis]
+        acc = None
+        for i in range(k):
+            sl = jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
+            term = sl * float(w[i])
+            acc = term if acc is None else acc + term
+        return acc
+
+    return conv_axis(conv_axis(img, 1), 2)
 
 
 def ssim(img, gt, window_size: int = 11, sigma: float = 1.5,

@@ -50,8 +50,10 @@ def camera_from_extr(extr, proj):
     view = view.at[:3, :3].set(R.T)             # row-vector form (M^T)
     view = view.at[3, :3].set(t)
     view = view.at[3, 3].set(1.0)
-    center = -R.T @ t
-    planes = um.viewproj_to_frustumplane(view @ proj)
+    hi = jax.lax.Precision.HIGHEST   # TPU matmuls default to bf16
+    center = -jnp.matmul(R.T, t, precision=hi)
+    planes = um.viewproj_to_frustumplane(
+        jnp.matmul(view, proj, precision=hi))
     return view, planes, center
 
 

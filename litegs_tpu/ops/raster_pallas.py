@@ -79,21 +79,15 @@ def _pixel_features(tile_h: int, tile_w: int):
     return h, hm
 
 
-def _tril(strict: bool):
-    row = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, G_BLK), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, G_BLK), 1)
-    return (row > col if strict else row >= col).astype(jnp.float32)
-
-
-def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot_t(a, b):
-    """Contract dim 0 of a with dim 0 of b: a[k,m], b[k,n] -> [m,n]."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+def _cumsum_g(x):
+    """Inclusive cumsum along the gaussian (sublane) axis: log-step
+    shifted adds (Mosaic has no cumsum lowering); exact f32."""
+    n = x.shape[0]
+    k = 1
+    while k < n:
+        x = x + jnp.pad(x, ((k, 0), (0, 0)))[:n]
+        k *= 2
+    return x
 
 
 def _block_alpha(params_blk, h_feat, count_left):
@@ -101,9 +95,16 @@ def _block_alpha(params_blk, h_feat, count_left):
 
     params_blk: [16, G] packed rows (see pack_entry_params).
     Returns (alpha_eff_preT [G, P], alpha_raw [G, P], thresh_ok [G, P]).
+
+    The quadratic is an explicit 6-term broadcast sum on the VPU rather
+    than an MXU matmul: the MXU multiplies in bf16 (and the f32-exact
+    multi-pass mode costs ~6x), while the exponent path needs full f32 --
+    measured ~10% image error otherwise.
     """
-    f = params_blk[0:8, :]                       # [8, G] quad coeffs (2 pad)
-    power = -0.5 * _dot_t(f, h_feat)             # [G, P]; includes +ln(op)
+    q = 0.0
+    for i in range(6):
+        q = q + params_blk[i:i + 1, :].T * h_feat[i:i + 1, :]   # [G,1]*[1,P]
+    power = -0.5 * q                             # [G, P]; includes +ln(op)
     g_idx = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, 1), 0)
     in_range = (g_idx < count_left)
     alpha_raw = jnp.exp(power)
@@ -147,20 +148,24 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
     @pl.when((count_left > 0) & (jnp.max(out_ref[0, 4, :]) > T_MIN))
     def _():
         h_feat, _ = _pixel_features(tile_h, tile_w)
-        tril_s = _tril(strict=True)
         t_plain = out_ref[0, 5:6, :]
         t_eff = out_ref[0, 4:5, :]
         pb = params_ref[:, :]
         alpha, _, _ = _block_alpha(pb, h_feat, count_left)
 
         logt = jnp.log1p(-alpha)                       # [G, P]
-        cum_excl = _dot(tril_s, logt)
+        # exclusive prefix along depth: exact f32 shift-add scan (the MXU
+        # triangular-matmul alternative multiplies in bf16)
+        cum_excl = _cumsum_g(logt) - logt
         t_excl = t_plain * jnp.exp(cum_excl)           # plain transmittance
         active = t_excl > T_MIN
         w = jnp.where(active, alpha * t_excl, 0.0)
 
         colors = pb[6:10, :]                           # [4, G] rgb + depth
-        out_ref[0, 0:4, :] += _dot(colors, w)          # [4, P] MXU
+        acc = jnp.concatenate(
+            [jnp.sum(colors[c:c + 1, :].T * w, axis=0, keepdims=True)
+             for c in range(4)], axis=0)               # [4, P] VPU exact
+        out_ref[0, 0:4, :] += acc
 
         # effective (frozen) transmittance bookkeeping: the first plain
         # value <= T_MIN freezes (raster.cu:260-282 semantics)
@@ -209,9 +214,7 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
 
     @pl.when(count_left > 0)
     def _():
-        h_feat, hm_feat = _pixel_features(tile_h, tile_w)
-        tril_s = _tril(strict=True)
-        tril_i = _tril(strict=False)
+        h_feat, _ = _pixel_features(tile_h, tile_w)
         d_col = dtile_ref[0, 0:4, :]                 # [4, P] upstream dC
         d0 = dtile_ref[0, 5:6, :]                    # [1, P] dC.C_tot+T dT
         t_plain = carry[0:1, :]
@@ -221,15 +224,17 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
         alpha, alpha_raw, thresh_ok = _block_alpha(pb, h_feat, count_left)
 
         logt = jnp.log1p(-alpha)
-        cum_excl = _dot(tril_s, logt)
+        cum_excl = _cumsum_g(logt) - logt            # exact f32 scan
         t_excl = t_plain * jnp.exp(cum_excl)
         ok = thresh_ok & (t_excl > T_MIN)
         w = jnp.where(ok, alpha * t_excl, 0.0)
 
         colors = pb[6:10, :]                         # [4, G]
-        g1 = _dot_t(colors, d_col)                   # [G, P] (c_i . dC)
+        g1 = 0.0                                     # [G, P] (c_i . dC)
+        for c in range(4):
+            g1 = g1 + colors[c:c + 1, :].T * d_col[c:c + 1, :]
         u = g1 * w
-        p_incl = prefix + _dot(tril_i, u)            # [G, P] inclusive
+        p_incl = prefix + _cumsum_g(u)               # [G, P] inclusive
 
         d_alpha = jnp.where(
             ok,
@@ -240,19 +245,21 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
         dpw = d_alpha * jnp.where(ok, alpha_raw, 0.0)  # d/d(power)
         dq = -0.5 * dpw                                # d/d(quadratic)
 
-        # per-entry reductions: moments + stats, one MXU matmul + sums
-        mom = _dot(dq, hm_feat)                        # [G, 8] (2 pad)
-        w_sum = jnp.sum(w, axis=1, keepdims=True)
-        cnt = jnp.sum(ok.astype(jnp.float32), axis=1, keepdims=True)
-        err2 = jnp.sum(dpw * dpw, axis=1, keepdims=True)
-        dlnop = jnp.sum(dpw, axis=1, keepdims=True)
-        side = jnp.concatenate([mom[:, 0:6], dlnop, w_sum, cnt, err2,
-                                jnp.zeros((G_BLK, 2), jnp.float32)], axis=1)
-        side_t = side.T                                # [12, G]
-        d_color = jax.lax.dot_general(                 # [4, G]
-            d_col, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        grad_ref[:, :] = jnp.concatenate([d_color, side_t], axis=0)
+        # per-entry reductions: moments + stats as explicit f32
+        # multiply-reduces (VPU); the transposed [12, G] layout is built
+        # directly row by row
+        mom_rows = [jnp.sum(dq * h_feat[i:i + 1, :], axis=1)[None, :]
+                    for i in range(6)]                 # 6 x [1, G]
+        dlnop = jnp.sum(dpw, axis=1)[None, :]
+        w_sum = jnp.sum(w, axis=1)[None, :]
+        cnt = jnp.sum(ok.astype(jnp.float32), axis=1)[None, :]
+        err2 = jnp.sum(dpw * dpw, axis=1)[None, :]
+        d_color = jnp.concatenate(
+            [jnp.sum(d_col[c:c + 1, :] * w, axis=1)[None, :]
+             for c in range(4)], axis=0)               # [4, G]
+        grad_ref[:, :] = jnp.concatenate(
+            [d_color] + mom_rows + [dlnop, w_sum, cnt, err2,
+             jnp.zeros((2, G_BLK), jnp.float32)], axis=0)
 
         carry[0:1, :] = t_plain * jnp.exp(
             jnp.sum(logt, axis=0, keepdims=True))

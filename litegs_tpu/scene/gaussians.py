@@ -75,7 +75,8 @@ def knn_mean_sq_dist(xyz: jax.Array, k: int = 3,
         rows_sq = jnp.sum(rows ** 2, axis=1)
         # [block, N+pad] squared distances via MXU matmul
         d2 = (rows_sq[:, None] + sq[None, :]
-              - 2.0 * rows @ pts_z.T)
+              - 2.0 * jnp.matmul(rows, pts_z.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         row_valid = jax.lax.dynamic_slice(valid, (i * block,), (block,))
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
         # mask self-distance

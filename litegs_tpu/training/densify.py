@@ -153,7 +153,8 @@ def split_and_clone(params: GaussianParams, adam: AdamState,
     rot_unit = params.rot / jnp.maximum(norm, 1e-12)
     rot_m = projection.create_transform_matrix(jnp.ones((3, n)), rot_unit)
     # row-vector convention: shift = eps_row @ M  (densify.py:318)
-    shift = jnp.einsum("in,ijn->jn", eps, rot_m)
+    shift = jnp.einsum("in,ijn->jn", eps, rot_m,
+                       precision=jax.lax.Precision.HIGHEST)
     new_xyz = jnp.where(is_split, params.xyz + shift, params.xyz)
     new_scale = jnp.where(is_split,
                           params.scale - jnp.log(1.6), params.scale)
