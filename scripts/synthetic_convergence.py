@@ -50,8 +50,10 @@ def main(argv=None):
     op = cfg.OptimizationParams(iterations=args.iters,
                                 position_lr_max_steps=args.iters)
     pp = cfg.PipelineParams(raster_backend=backend, tile_size=(16, 32))
+    total_epochs = max(args.iters // args.frames, 1)
     dp = cfg.DensifyParams(densification_interval=4, densify_from=3,
-                           opacity_reset_interval=1 << 30,
+                           densify_until=int(total_epochs * 0.7),
+                           opacity_reset_interval=10 ** 9,
                            target_primitives=args.target)
     caps = cfg.auto_capacity(max(args.target, args.points) + 1)
     trainer = Trainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps, data=data,
