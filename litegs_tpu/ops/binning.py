@@ -230,23 +230,42 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     def g(x):
         return jnp.take(x, row_pt)
 
-    row_y = jnp.take(rect_min_y, row_pt) + row_rank
+    # gather only the 6 independent per-point values; derived quantities
+    # (disc, rects) are recomputed at row level as streams -- gathers run
+    # at ~1/25th of stream bandwidth on TPU, and recomputation of identical
+    # f32 expressions is bit-exact
+    r_px, r_py = g(px), g(py)
+    r_a, r_b, r_c = g(a_s), g(b), g(c_s)
+    r_t = g(t_s)
+    r_disc = jnp.where(row_valid, r_b * r_b - r_a * r_c, -1.0)
+    r_dx = jnp.sqrt(jnp.maximum(-r_t * r_c / r_disc, 0.0))
+    r_dy = jnp.sqrt(jnp.maximum(-r_t * r_a / r_disc, 0.0))
+    r_min_x = jnp.clip(jnp.floor((r_px - r_dx) / tile_w), 0,
+                       tiles_x).astype(jnp.int32)
+    r_max_x = jnp.clip(jnp.floor((r_px + r_dx + tile_w - 1) / tile_w), 0,
+                       tiles_x).astype(jnp.int32)
+    r_min_y = jnp.clip(jnp.floor((r_py - r_dy) / tile_h), 0,
+                       tiles_y).astype(jnp.int32)
+
+    row_y = r_min_y + row_rank
     min_tile_x, row_tiles = tile_counts_for_rows(
-        g(px), g(py), g(a_s), g(b), g(c_s), g(t_s), g(disc_s),
+        r_px, r_py, r_a, r_b, r_c, r_t, r_disc,
         row_y.astype(jnp.float32), float(tile_h), float(tile_w),
-        g(rect_min_x), g(rect_max_x))
+        r_min_x, r_max_x)
     row_tiles = jnp.where(row_valid, row_tiles, 0)
+    # pack (row_y, min_tile_x) into one word so expansion 2 gathers once
+    row_loc = row_y * 8192 + min_tile_x
     # Materialization fence: without it XLA fuses the whole gather+sqrt
     # chain above INTO the cumsum/scatter consumers below and re-evaluates
     # it per scan pass (~20x recompute; measured 5 ms -> 100 ms).
-    row_y, min_tile_x, row_tiles, row_pt = jax.lax.optimization_barrier(
-        (row_y, min_tile_x, row_tiles, row_pt))
+    row_loc, row_tiles, row_pt = jax.lax.optimization_barrier(
+        (row_loc, row_tiles, row_pt))
 
     # ---- expansion 2: (point, row) -> (point, row, tile) = table entry ----
     ent_owner, ent_rank, ent_valid, total_entries = expand_by_counts(
         row_tiles, entry_capacity)
-    ent_tile = (jnp.take(row_y, ent_owner) * tiles_x
-                + jnp.take(min_tile_x, ent_owner) + ent_rank)
+    ent_loc = jnp.take(row_loc, ent_owner)
+    ent_tile = ((ent_loc // 8192) * tiles_x + ent_loc % 8192 + ent_rank)
     ent_pt = jnp.take(row_pt, ent_owner)
     ent_tile, ent_pt, ent_valid = jax.lax.optimization_barrier(
         (ent_tile, ent_pt, ent_valid))

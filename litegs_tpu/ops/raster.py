@@ -55,11 +55,14 @@ def _segment(data, ids, m):
 
 def build_cache(mean_pix, inv_cov, color4, opacity, table: BinningResult,
                 tiles_total: int, tiles_x: int, tile_h: int,
-                tile_w: int) -> RasterCache:
+                tile_w: int, has_depth: bool = True) -> RasterCache:
     sg = jax.lax.stop_gradient
+    # skip gathering the depth row when it is a zero pad (gathers are the
+    # dominant cost of packing)
+    depth = sg(color4[3]) if has_depth else None
     packed = raster_pallas.pack_entry_params(
         sg(mean_pix), sg(inv_cov), sg(color4[:3]), sg(opacity),
-        sg(color4[3]), table.sorted_point, table.sorted_tile,
+        depth, table.sorted_point, table.sorted_tile,
         table.entry_valid, tiles_x, tile_h, tile_w)
     bt, bc = raster_pallas.block_tables(table, tiles_total)
     return RasterCache(packed=packed, block_tile=bt, block_cnt=bc)
@@ -89,7 +92,8 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
 
     color4 = color if nchan == 4 else jnp.pad(color, ((0, 4 - nchan), (0, 0)))
     cache = build_cache(mean_pix, inv_cov, color4, opacity, table,
-                        tiles_total, tiles_x, tile_h, tile_w)
+                        tiles_total, tiles_x, tile_h, tile_w,
+                        has_depth=nchan == 4)
 
     @jax.custom_vjp
     def _raster(mean_pix, inv_cov, color4, opacity):

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Aggregate full_eval CSVs into markdown tables with repeat-averaging
-(reference scripts/print_results.py)."""
+"""Aggregate full_eval CSVs into markdown/latex tables with
+repeat-averaging, optionally with 95% confidence intervals (reference
+scripts/print_results.py + print_conf_results.py)."""
 import argparse
 import csv
+import math
 import sys
 from collections import defaultdict
 
@@ -11,6 +13,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("csvs", nargs="+")
     parser.add_argument("--latex", action="store_true")
+    parser.add_argument("--conf", action="store_true",
+                        help="append 95%% confidence intervals over repeats")
     args = parser.parse_args(argv)
     rows = defaultdict(list)
     for path in args.csvs:
@@ -28,7 +32,16 @@ def main(argv=None):
         for c in cols:
             xs = [float(r[c]) for r in rows[scene]
                   if r.get(c) not in (None, "", "None")]
-            vals.append(f"{sum(xs)/len(xs):.4g}" if xs else "n/a")
+            if not xs:
+                vals.append("n/a")
+                continue
+            mean = sum(xs) / len(xs)
+            cell = f"{mean:.4g}"
+            if args.conf and len(xs) > 1:
+                var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+                ci = 1.96 * math.sqrt(var / len(xs))
+                cell += f" ±{ci:.2g}"
+            vals.append(cell)
         if args.latex:
             print(f"{scene} & " + " & ".join(vals) + r" \\")
         else:
