@@ -134,6 +134,29 @@ def main():
         m = run(i)
     jax.block_until_ready(state)
 
+    mode = os.environ.get("BENCH_MODE", "train")
+    if mode == "render":
+        # forward-only throughput (BASELINE's 'rasterize Mpix/s per chip';
+        # reference anchor: ~245 Mpix/s effective fwd+bwd on an RTX 3090)
+        from litegs_tpu.training.trainer import make_eval_render
+        ev = make_eval_render(pp, caps, img_h, img_w, sh_degree, interp)
+        img, _ = ev(state.params, state.active_count, batch.view[0],
+                    batch.proj[0], batch.planes[0], batch.center[0])
+        _ = np.asarray(img).ravel()[0]
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            img, _ = ev(state.params, state.active_count,
+                        batch.view[i % n_frames], batch.proj[i % n_frames],
+                        batch.planes[i % n_frames],
+                        batch.center[i % n_frames])
+        _ = np.asarray(img).ravel()[0]
+        elapsed = time.perf_counter() - t0
+        mpix = img_h * img_w * n_iters / elapsed / 1e6
+        print(json.dumps({"metric": "render_mpix_per_sec",
+                          "value": round(mpix, 2), "unit": "Mpix/s",
+                          "vs_baseline": round(mpix / 245.0, 4)}))
+        return
+
     t0 = time.perf_counter()
     for i in range(n_iters):
         m = run(i)

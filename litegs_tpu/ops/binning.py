@@ -120,6 +120,28 @@ def tile_counts_for_rows(px, py, a, b, c, t, disc, row, tile_h, tile_w,
     return min_tile, count
 
 
+def _ellipse_tile_rect(px, py, a_s, c_s, t_s, disc_s,
+                       tile_h, tile_w, tiles_x, tiles_y):
+    """Shared exact ellipse extent -> clipped tile rect (binning.cu:324-355).
+
+    Single source of truth: the per-point pass, the per-row recompute and
+    the sizing estimate must stay BIT-IDENTICAL (row counts are defined by
+    one copy and consumed by another), so they all call this.
+    Returns (dx_max, dy_max, min_x, max_x, min_y, max_y).
+    """
+    dx_max = jnp.sqrt(jnp.maximum(-t_s * c_s / disc_s, 0.0))
+    dy_max = jnp.sqrt(jnp.maximum(-t_s * a_s / disc_s, 0.0))
+    min_x = jnp.clip(jnp.floor((px - dx_max) / tile_w), 0,
+                     tiles_x).astype(jnp.int32)
+    max_x = jnp.clip(jnp.floor((px + dx_max + tile_w - 1) / tile_w), 0,
+                     tiles_x).astype(jnp.int32)
+    min_y = jnp.clip(jnp.floor((py - dy_max) / tile_h), 0,
+                     tiles_y).astype(jnp.int32)
+    max_y = jnp.clip(jnp.floor((py + dy_max + tile_h - 1) / tile_h), 0,
+                     tiles_y).astype(jnp.int32)
+    return dx_max, dy_max, min_x, max_x, min_y, max_y
+
+
 def estimate_table_sizes(ndc, view_z, inv_cov2d, opacity, valid_mask,
                          img_h: int, img_w: int, tile_h: int, tile_w: int):
     """Cheap upper-bound sizing pass: no expansions, tiny memory.
@@ -144,16 +166,10 @@ def estimate_table_sizes(ndc, view_z, inv_cov2d, opacity, valid_mask,
     c_s = jnp.where(safe, c, 1.0)
     disc_s = jnp.where(safe, disc, -1.0)
     t_s = jnp.where(safe, t, 0.0)
-    dx_max = jnp.sqrt(jnp.maximum(-t_s * c_s / disc_s, 0.0))
-    dy_max = jnp.sqrt(jnp.maximum(-t_s * a_s / disc_s, 0.0))
-    rect_w = (jnp.clip(jnp.floor((px + dx_max + tile_w - 1) / tile_w), 0,
-                       tiles_x)
-              - jnp.clip(jnp.floor((px - dx_max) / tile_w), 0, tiles_x))
-    rect_h = (jnp.clip(jnp.floor((py + dy_max + tile_h - 1) / tile_h), 0,
-                       tiles_y)
-              - jnp.clip(jnp.floor((py - dy_max) / tile_h), 0, tiles_y))
-    rect_w = jnp.where(safe, rect_w, 0.0)
-    rect_h = jnp.where(safe, rect_h, 0.0)
+    _, _, rmin_x, rmax_x, rmin_y, rmax_y = _ellipse_tile_rect(
+        px, py, a_s, c_s, t_s, disc_s, tile_h, tile_w, tiles_x, tiles_y)
+    rect_w = jnp.where(safe, (rmax_x - rmin_x).astype(jnp.float32), 0.0)
+    rect_h = jnp.where(safe, (rmax_y - rmin_y).astype(jnp.float32), 0.0)
     n_vis = jnp.sum(visible, dtype=jnp.int32)
     n_rows = jnp.sum(rect_h, dtype=jnp.float32)
     # + per-tile 128-alignment slack (build_tile_table pads every tile's
@@ -182,6 +198,8 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     tiles_x = math.ceil(img_w / tile_w)
     tiles_y = math.ceil(img_h / tile_h)
     tiles_total = tiles_x * tiles_y
+    # the (row_y, min_tile_x) pack in expansion 2 uses base 8192
+    assert tiles_x <= 8192 and tiles_y <= 8192, (tiles_x, tiles_y)
 
     a, b, c = inv_cov2d[0], inv_cov2d[1], inv_cov2d[2]
     disc = b * b - a * c
@@ -203,16 +221,9 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     t_s = jnp.where(safe, t, 0.0)
 
     # ellipse bbox -> tile rect (binning.cu:324-355)
-    dx_max = jnp.sqrt(jnp.maximum(-t_s * c_s / disc_s, 0.0))
-    dy_max = jnp.sqrt(jnp.maximum(-t_s * a_s / disc_s, 0.0))
-    rect_min_x = jnp.clip(jnp.floor((px - dx_max) / tile_w), 0,
-                          tiles_x).astype(jnp.int32)
-    rect_max_x = jnp.clip(jnp.floor((px + dx_max + tile_w - 1) / tile_w), 0,
-                          tiles_x).astype(jnp.int32)
-    rect_min_y = jnp.clip(jnp.floor((py - dy_max) / tile_h), 0,
-                          tiles_y).astype(jnp.int32)
-    rect_max_y = jnp.clip(jnp.floor((py + dy_max + tile_h - 1) / tile_h), 0,
-                          tiles_y).astype(jnp.int32)
+    _, _, rect_min_x, rect_max_x, rect_min_y, rect_max_y = \
+        _ellipse_tile_rect(px, py, a_s, c_s, t_s, disc_s,
+                           tile_h, tile_w, tiles_x, tiles_y)
     n_rows = jnp.where(safe & (rect_max_x > rect_min_x),
                        rect_max_y - rect_min_y, 0)
 
@@ -238,14 +249,9 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     r_a, r_b, r_c = g(a_s), g(b), g(c_s)
     r_t = g(t_s)
     r_disc = jnp.where(row_valid, r_b * r_b - r_a * r_c, -1.0)
-    r_dx = jnp.sqrt(jnp.maximum(-r_t * r_c / r_disc, 0.0))
-    r_dy = jnp.sqrt(jnp.maximum(-r_t * r_a / r_disc, 0.0))
-    r_min_x = jnp.clip(jnp.floor((r_px - r_dx) / tile_w), 0,
-                       tiles_x).astype(jnp.int32)
-    r_max_x = jnp.clip(jnp.floor((r_px + r_dx + tile_w - 1) / tile_w), 0,
-                       tiles_x).astype(jnp.int32)
-    r_min_y = jnp.clip(jnp.floor((r_py - r_dy) / tile_h), 0,
-                       tiles_y).astype(jnp.int32)
+    _, _, r_min_x, r_max_x, r_min_y, _ = _ellipse_tile_rect(
+        r_px, r_py, r_a, r_c, r_t, r_disc,
+        tile_h, tile_w, tiles_x, tiles_y)
 
     row_y = r_min_y + row_rank
     min_tile_x, row_tiles = tile_counts_for_rows(

@@ -184,7 +184,8 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
         axis=1)
     if cache is None:
         cache = build_cache(mean_pix, inv_cov, color4, opacity, table,
-                            tiles_total, tiles_x, tile_h, tile_w)
+                            tiles_total, tiles_x, tile_h, tile_w,
+                            has_depth=nchan == 4)
     grads16 = _backward_entry_grads(
         cache, out_tiles, d4, d_tiles_trans,
         tiles_total, tile_h, tile_w, interpret)

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Aggregate full_eval CSVs into markdown/latex tables with
-repeat-averaging, optionally with 95% confidence intervals (reference
-scripts/print_results.py + print_conf_results.py)."""
+repeat-averaging (reference scripts/print_results.py), optionally with
+95% confidence intervals over repeats (Student t; an addition over the
+reference, whose print_conf_results aggregates fixed configurations)."""
 import argparse
 import csv
 import math
@@ -39,7 +40,14 @@ def main(argv=None):
             cell = f"{mean:.4g}"
             if args.conf and len(xs) > 1:
                 var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
-                ci = 1.96 * math.sqrt(var / len(xs))
+                # two-sided 95% Student-t quantiles (df 1..30, then ~z)
+                t95 = [12.71, 4.30, 3.18, 2.78, 2.57, 2.45, 2.36, 2.31,
+                       2.26, 2.23, 2.20, 2.18, 2.16, 2.14, 2.13, 2.12,
+                       2.11, 2.10, 2.09, 2.09, 2.08, 2.07, 2.07, 2.06,
+                       2.06, 2.06, 2.05, 2.05, 2.05, 2.04]
+                df = len(xs) - 1
+                t = t95[df - 1] if df <= 30 else 1.96
+                ci = t * math.sqrt(var / len(xs))
                 cell += f" ±{ci:.2g}"
             vals.append(cell)
         if args.latex:
