@@ -110,8 +110,11 @@ def cov2d_from_transform(jacobian, view_matrix, transform_matrix):
     v3 = view_matrix[:3, :3]
     hi = jax.lax.Precision.HIGHEST
     t = jnp.einsum("iun,ki->ukn", j2, v3, precision=hi)   # [2, 3, N]
-    # m2[u, j, n] = sum_k t[u, k, n] * M[k, j, n]  (apply M = R*s)
-    m2 = jnp.einsum("ukn,kjn->ujn", t, transform_matrix, precision=hi)
+    # m2[u, j, n] = sum_k t[u, k, n] * M[j, k, n] = (T M^T)[u, j]: cov2d =
+    # T cov3d T^T with cov3d = M^T M (wrapper.py:348-353; M = diag(s) R, so
+    # M^T M = R^T S^2 R -- contracting M's *second* index here is what
+    # carries the rotation; contracting the first would collapse to S^2)
+    m2 = jnp.einsum("ukn,jkn->ujn", t, transform_matrix, precision=hi)
     a = jnp.sum(m2[0] * m2[0], axis=0) + 0.3
     b = jnp.sum(m2[0] * m2[1], axis=0)
     c = jnp.sum(m2[1] * m2[1], axis=0) + 0.3
