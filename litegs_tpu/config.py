@@ -52,6 +52,11 @@ class PipelineParams:
     # static-shape analogue of the reference's GPU-driven feedback buffers,
     # data.py:236-245). Off -> always use the configured CapacityParams.
     adaptive_capacity: bool = True
+    # Ablation: keep every chunk (skip the frustum-culling test).  The
+    # TPU equivalent of the reference's non-clustered `--cluster_size 0`
+    # ablation point (ablations_culling.py:75) -- chunking itself stays
+    # (static shapes require it) but the culling win is removed.
+    disable_culling: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,6 +46,11 @@ def load_checkpoint(path: str, state_template):
     assert meta["n_leaves"] == len(leaves_t), \
         f"checkpoint has {meta['n_leaves']} leaves, template " \
         f"{len(leaves_t)}"
+    # a different structure with coincidentally matching leaf count/shapes
+    # (e.g. reordered TrainState fields) would silently misassign arrays
+    assert meta["treedef"] == str(treedef), \
+        f"checkpoint treedef mismatch:\n saved  {meta['treedef']}\n " \
+        f"template {treedef}"
     leaves = []
     for i, tmpl in enumerate(leaves_t):
         arr = data[f"leaf_{i}"]

@@ -76,6 +76,7 @@ def _parse_header(f):
     fmt = None
     n_vertex = 0
     props = []
+    saw_vertex = False
     while True:
         line = f.readline()
         if not line:
@@ -88,9 +89,17 @@ def _parse_header(f):
         elif tokens[0] == b"element":
             if tokens[1] == b"vertex":
                 n_vertex = int(tokens[2])
-            elif props:
-                break  # only the vertex element is read
-        elif tokens[0] == b"property" and n_vertex:
+                saw_vertex = True
+            elif saw_vertex:
+                break  # vertex properties complete; later elements ignored
+            else:
+                # the binary reader consumes vertex records from the start
+                # of the data section, so a ply whose first element is not
+                # vertex would be silently misparsed -- refuse instead
+                raise ValueError(
+                    "ply parser requires the vertex element first "
+                    f"(found 'element {tokens[1].decode()}')")
+        elif tokens[0] == b"property" and saw_vertex:
             props.append((tokens[1].decode(), tokens[2].decode()))
         elif tokens[0] == b"end_header":
             break

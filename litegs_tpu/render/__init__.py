@@ -77,6 +77,11 @@ def render_preprocess(params: GaussianParams,
 
     visibility = um.frustum_culling_aabb(frustumplane, chunk_origin,
                                          chunk_extend)
+    if pp.disable_culling:
+        # ablation: keep every active chunk (reference --cluster_size 0
+        # path, ablations_culling.py:75); inactive (padding) chunks are
+        # still dropped via their pushed-out AABBs' extend == 0 marker
+        visibility = jnp.any(chunk_extend > 0.0, axis=0)
     chunk_ids, num_vis, overflow = cluster.visible_chunk_ids(
         visibility, vis_chunk_cap)
     valid = (jnp.arange(caps.visible_capacity) // chunk_size) < num_vis

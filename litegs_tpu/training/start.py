@@ -46,12 +46,35 @@ def split_train_test(frames, eval_mode: bool, source_path: str):
     return list(frames), []
 
 
+def shard_frames_for_process(frames, process_index: Optional[int] = None,
+                             process_count: Optional[int] = None):
+    """Multi-host data loading: each process keeps a disjoint round-robin
+    slice of the frame list, so no host ever loads (or holds device memory
+    for) another host's cameras.  The reference preloads everything on its
+    single GPU (data.py:178-190); at mesh scale the camera axis must shard
+    per host or the dataset replicates and cannot outgrow one host's HBM.
+
+    Single process (the default everywhere in this environment) is the
+    identity.
+    """
+    import jax
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_count <= 1:
+        return list(frames)
+    return [f for i, f in enumerate(frames)
+            if i % process_count == process_index]
+
+
 def build_camera_batch(cams, frames, images_dir: str, resolution: int,
                        ) -> tuple[CameraBatch, int, int]:
     """Load + resize all images, build device-resident camera tensors.
 
     All frames must share one post-resize resolution (true for the standard
     benchmark datasets; the batch is a single stacked device array).
+    Callers pass the *local* frame list (see shard_frames_for_process).
     """
     imgs, views, projs, planes, centers = [], [], [], [], []
     scaled_cache: dict[tuple[int, int, int], object] = {}
@@ -98,6 +121,8 @@ def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     cams, frames, xyz, rgb = io_manager.load_colmap_result(lp.source_path)
     train_frames, test_frames = split_train_test(frames, lp.eval,
                                                  lp.source_path)
+    # per-host frame shard (identity on one process)
+    train_frames = shard_frames_for_process(train_frames)
     images_dir = os.path.join(lp.source_path, lp.images)
     data, img_h, img_w = build_camera_batch(cams, train_frames, images_dir,
                                             lp.resolution)
@@ -124,8 +149,16 @@ def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     stats = statistics.init_stats(caps.primitive_capacity)
     start_epoch = 0
     if start_checkpoint:
-        start_epoch, state = io_manager.load_checkpoint(start_checkpoint,
-                                                        state)
+        # pose state rides the checkpoint pytree when pose-opt is on
+        # (the reference pickles the optimizer wholesale including the
+        # learnable viewproj, checkpoint.py:16-25)
+        if trainer.pose_state is not None:
+            start_epoch, (state, trainer.pose_state) = \
+                io_manager.load_checkpoint(start_checkpoint,
+                                           (state, trainer.pose_state))
+        else:
+            start_epoch, state = io_manager.load_checkpoint(
+                start_checkpoint, state)
         start_epoch += 1
         if verbose:
             print(f"resumed from {start_checkpoint} at epoch {start_epoch}",
@@ -151,7 +184,9 @@ def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             export_ply(lp.model_path, state,
                        iteration=(epoch + 1) * trainer.n_frames)
         if epoch in checkpoint_epochs:
-            io_manager.save_checkpoint(ckpt_dir, epoch, state)
+            ckpt_state = (state if trainer.pose_state is None
+                          else (state, trainer.pose_state))
+            io_manager.save_checkpoint(ckpt_dir, epoch, ckpt_state)
     elapsed = time.time() - t0
     if verbose:
         iters = trainer.total_epochs * trainer.n_frames

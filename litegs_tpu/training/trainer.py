@@ -112,12 +112,13 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             (loss, (out, culled)), (grads, g_extr) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
                     state.params, pose.extr[frame_idx])
-            pose = pose_ops.sparse_pose_adam(pose, frame_idx, g_extr,
-                                             lr=op.pose_lr)
+            new_pose = pose_ops.sparse_pose_adam(pose, frame_idx, g_extr,
+                                                 lr=op.pose_lr)
         else:
             (loss, (out, culled)), grads = jax.value_and_grad(
                 lambda p: loss_from(p, view, planes, center),
                 has_aux=True)(state.params)
+            new_pose = pose
 
         nchunks = caps.primitive_capacity // chunk_size
         chunk_mask = cluster.scatter_chunk_mask(
@@ -125,9 +126,25 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
         lrs = LearningRates.from_config(op, spatial_lr_scale, state.step)
         new_params, new_adam = sparse_adam_step(
             state.params, grads, state.adam, lrs, chunk_mask, chunk_size)
-        new_state = TrainState(params=new_params, adam=new_adam,
-                               active_count=state.active_count,
-                               step=state.step + 1)
+
+        # Overflow-safe stepping: a truncated binning table means truncated
+        # gradients -- never train on them (the reference reallocates so a
+        # step is always exact, binning.cu:137-169 / compact.cu:527-551).
+        # The update becomes a no-op and the trainer retries the frame
+        # after re-bucketing capacities.
+        overflow = out.overflow
+
+        def keep_old(new, old):
+            return jax.tree.map(
+                lambda a, b: jnp.where(overflow, b, a), new, old)
+
+        new_params = keep_old(new_params, state.params)
+        new_adam = keep_old(new_adam, state.adam)
+        pose = keep_old(new_pose, pose)
+        new_state = TrainState(
+            params=new_params, adam=new_adam,
+            active_count=state.active_count,
+            step=state.step + jnp.where(overflow, 0, 1))
 
         if collect_stats:
             aux = out.aux
@@ -152,9 +169,11 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 tiles_total, tiles_x, tile_h, tile_w, img_h, img_w,
                 backend=pp.raster_backend, interpret=interpret,
                 cache=aux.cache)
-            stats = statistics.update_stats(
+            new_stats = statistics.update_stats(
                 stats, culled.chunk_ids, culled.valid,
                 out.primitive_visible, rstats, chunk_size)
+            # overflowed frames are retried -- don't double-count stats
+            stats = keep_old(new_stats, stats)
 
         metrics = {
             "loss": loss,
@@ -288,12 +307,14 @@ class Trainer:
     # -- main loop -----------------------------------------------------
 
     def run_epoch(self, state: TrainState, stats, epoch: int,
-                  frame_ids=None):
+                  frame_ids=None, _retry: int = 0):
         """Train one epoch; returns (state, stats, mean_metrics).
 
         Metrics stay on device until the epoch ends (one readback per
         epoch) -- the steady-state loop never host-syncs, mirroring the
         reference's GPU-driven discipline (SURVEY.md layer map note 3).
+        Frames whose binning overflowed are retried (see overflow-safe
+        stepping in make_train_step).
         """
         sh_deg = self._sh_degree(epoch)
         collect = self.is_densify_active(epoch)
@@ -314,8 +335,9 @@ class Trainer:
                 self.pose_state, jnp.int32(i))
             pending.append(metrics)
         got = jax.device_get(pending)
-        n = len(frame_ids)
-        n_over = int(sum(int(g["overflow"]) for g in got))
+        overflowed = [int(i) for i, g in zip(frame_ids, got)
+                      if bool(g["overflow"])]
+        n_over = len(overflowed)
         self.overflow_count += n_over
         self.overflow_last_epoch = n_over > 0
         sizes_max = np.max(np.stack([g["sizes"] for g in got]), axis=0)
@@ -325,7 +347,18 @@ class Trainer:
         if self.size_feedback is None:
             self.size_feedback = sizes_max
         else:
-            self.size_feedback = np.maximum(sizes_max, 0)
+            # running max: a transiently small epoch must not shrink the
+            # bucket (shrinking thrashes compiles and invites overflow)
+            self.size_feedback = np.maximum(sizes_max, self.size_feedback)
+
+        # Overflowed frames had their update skipped (overflow-safe step);
+        # retrain them with re-bucketed capacities so no iteration ever
+        # trains on a truncated table (reference never-truncate discipline,
+        # binning.cu:137-169).
+        if overflowed and self.pp.adaptive_capacity and _retry < 3:
+            state, stats, _ = self.run_epoch(state, stats, epoch,
+                                             frame_ids=overflowed,
+                                             _retry=_retry + 1)
         return state, stats, {
             "loss": float(np.mean([g["loss"] for g in got])),
             "psnr": float(np.mean([g["psnr"] for g in got]))}

@@ -17,9 +17,11 @@ def main(argv=None):
     args, extra = parser.parse_known_args(argv)
     variants = {
         "clustered": [],
-        # reference --cluster_size 0 disables clustering
-        # (ablations_culling.py:75); the TPU pipeline requires chunking for
-        # static shapes, so the ablation point is the script raster path
+        # every chunk kept: quantifies the frustum-culling win (the
+        # reference's --cluster_size 0 point, ablations_culling.py:75;
+        # chunking itself is structural on TPU so only culling is ablated)
+        "no_culling": ["--disable_culling"],
+        # pure-jnp rasterizer path (the reference's script-path ablation)
         "script_raster": ["--raster_backend", "jnp"],
     }
     for name, flags in variants.items():

@@ -129,3 +129,48 @@ def test_tile_blend_stats_collected():
     tb = trainer.tile_blend_max
     assert tb.ndim == 1 and tb.sum() > 0
     assert tb[order[0]] == tb.max()
+
+
+def test_overflow_skips_update_and_retries():
+    """Overflow-safe stepping (reference never-truncate discipline,
+    binning.cu:137-169): a step whose binning table overflows must leave
+    params/Adam/step bit-identical, and the trainer must retry the frame
+    after re-bucketing so training still progresses."""
+    trainer, init_xyz, init_color = small_setup(iterations=16)
+    # force an overflowing first epoch: entry capacity far below demand
+    tiny = cfg.CapacityParams(primitive_capacity=2048,
+                              visible_capacity=2048,
+                              row_capacity=256, entry_capacity=256)
+    state = trainer.init_state(init_xyz, init_color)
+    stats = statistics.init_stats(trainer.caps.primitive_capacity)
+
+    from litegs_tpu.training.trainer import make_train_step, \
+        masked_chunk_aabb
+    step_fn = make_train_step(
+        trainer.lp, trainer.op, trainer.pp, tiny, trainer.img_h,
+        trainer.img_w, trainer.spatial_lr_scale, sh_degree=0,
+        collect_stats=False)
+    origin, extend = masked_chunk_aabb(state.params, state.active_count,
+                                       trainer.pp.cluster_size)
+    d = trainer.data
+    # host snapshot first: the jitted step donates state buffers
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(state)]
+    new_state, new_stats, _, metrics = step_fn(
+        state, stats, origin, extend, d.view[0], d.proj[0], d.planes[0],
+        d.center[0], d.images[0], None, jnp.int32(0))
+    assert bool(metrics["overflow"])
+    # params, moments and step count bit-identical
+    for a, b in zip(before, jax.tree.leaves(new_state)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # the trainer-level retry path: first epoch overflows (tiny initial
+    # caps), feedback re-buckets, retried frames actually train
+    trainer2, init_xyz, init_color = small_setup(iterations=16)
+    trainer2.caps = cfg.CapacityParams(
+        primitive_capacity=2048, visible_capacity=2048,
+        row_capacity=4096, entry_capacity=4096)
+    state = trainer2.init_state(init_xyz, init_color)
+    stats = statistics.init_stats(trainer2.caps.primitive_capacity)
+    state, stats, m = trainer2.run_epoch(state, stats, epoch=0)
+    assert int(state.step) == trainer2.n_frames, (
+        int(state.step), trainer2.overflow_count)
