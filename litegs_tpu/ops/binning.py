@@ -82,6 +82,47 @@ def expand_by_counts(counts, capacity: int):
     return owner, rank, valid, total
 
 
+def expand_with_table(counts, capacity: int, table):
+    """expand_by_counts + fetch of per-item payload columns in ONE
+    row-gather.
+
+    Measured (scripts/microbench_r2.py on the v5e): a [m, K] row-gather
+    costs the same as a single 1-D gather (~82 ms vs ~100 ms at 4.8M
+    indices for K=8) because the per-index overhead dominates -- so
+    fetching the item's start offset *and* all K payload values per
+    expanded slot costs one gather instead of K+1.  This replaces one of
+    the two cummax scans of expand_by_counts (start_of) and every
+    per-column ``jnp.take`` the caller would otherwise issue.
+
+    Args:
+      counts: [m] int32 per-item expansion counts.
+      capacity: static output length.
+      table: [m, K] f32 per-item payload (bitcast int columns to f32).
+    Returns (owner [cap] int32, rank [cap] int32, valid [cap] bool,
+    total scalar, fetched [cap, K] f32).
+    """
+    m = counts.shape[0]
+    counts = jax.lax.optimization_barrier(counts.astype(jnp.int32))
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    starts = cum - counts
+    sidx = jnp.where(counts > 0, starts, capacity)
+    item_ids = jnp.arange(m, dtype=jnp.int32)
+    owner = jax.lax.cummax(
+        jnp.zeros((capacity,), jnp.int32).at[sidx].max(
+            item_ids, mode="drop", unique_indices=True))
+    # one row-gather fetches start + payloads for every slot
+    full = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(starts, jnp.float32)[:, None], table],
+        axis=1)
+    fetched = jnp.take(full, owner, axis=0)
+    start_of = jax.lax.bitcast_convert_type(fetched[:, 0], jnp.int32)
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    rank = slots - start_of
+    valid = slots < total
+    return owner, rank, valid, total, fetched[:, 1:]
+
+
 def tile_counts_for_rows(px, py, a, b, c, t, disc, row, tile_h, tile_w,
                          rect_min_x, rect_max_x):
     """Exact x-tile span of the ellipse within one tile row (vectorized).
@@ -234,24 +275,34 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     rows_sorted = jnp.take(n_rows, depth_order)
 
     # ---- expansion 1: (point) -> (point, tile-row) ----
-    row_owner, row_rank, row_valid, total_rows = expand_by_counts(
-        rows_sorted, row_capacity)
-    row_pt = jnp.take(depth_order, row_owner)        # original point index
+    # Per-point payload table (depth-sorted item order): the point id, the
+    # 6 quadratic inputs and the point-level tile rect, fetched at row
+    # level in expand_with_table's single row-gather (measured ~6x cheaper
+    # than per-column 1-D gathers, scripts/microbench_r2.py).  Int columns
+    # <= 8192 ride as exact f32; the point id is bitcast.
+    def bc_i2f(x):
+        return jax.lax.bitcast_convert_type(x.astype(jnp.int32),
+                                            jnp.float32)
 
-    def g(x):
-        return jnp.take(x, row_pt)
+    def bc_f2i(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    # gather only the 6 independent per-point values; derived quantities
-    # (disc, rects) are recomputed at row level as streams -- gathers run
-    # at ~1/25th of stream bandwidth on TPU, and recomputation of identical
-    # f32 expressions is bit-exact
-    r_px, r_py = g(px), g(py)
-    r_a, r_b, r_c = g(a_s), g(b), g(c_s)
-    r_t = g(t_s)
-    r_disc = jnp.where(row_valid, r_b * r_b - r_a * r_c, -1.0)
-    _, _, r_min_x, r_max_x, r_min_y, _ = _ellipse_tile_rect(
-        r_px, r_py, r_a, r_c, r_t, r_disc,
-        tile_h, tile_w, tiles_x, tiles_y)
+    pt_table = jnp.stack([
+        bc_i2f(jnp.arange(m, dtype=jnp.int32)), px, py, a_s, b, c_s, t_s,
+        disc_s, rect_min_x.astype(jnp.float32),
+        rect_max_x.astype(jnp.float32), rect_min_y.astype(jnp.float32),
+    ], axis=1)
+    pt_sorted = jnp.take(pt_table, depth_order, axis=0)
+
+    row_owner, row_rank, row_valid, total_rows, rv = expand_with_table(
+        rows_sorted, row_capacity, pt_sorted)
+    row_pt = bc_f2i(rv[:, 0])                        # original point index
+    r_px, r_py = rv[:, 1], rv[:, 2]
+    r_a, r_b, r_c, r_t = rv[:, 3], rv[:, 4], rv[:, 5], rv[:, 6]
+    r_disc = jnp.where(row_valid, rv[:, 7], -1.0)
+    r_min_x = rv[:, 8].astype(jnp.int32)
+    r_max_x = rv[:, 9].astype(jnp.int32)
+    r_min_y = rv[:, 10].astype(jnp.int32)
 
     row_y = r_min_y + row_rank
     min_tile_x, row_tiles = tile_counts_for_rows(
@@ -259,20 +310,21 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         row_y.astype(jnp.float32), float(tile_h), float(tile_w),
         r_min_x, r_max_x)
     row_tiles = jnp.where(row_valid, row_tiles, 0)
-    # pack (row_y, min_tile_x) into one word so expansion 2 gathers once
+    # pack (row_y, min_tile_x) into one word so expansion 2 fetches once
     row_loc = row_y * 8192 + min_tile_x
+    row_table = jnp.stack([bc_i2f(row_pt), bc_i2f(row_loc)], axis=1)
     # Materialization fence: without it XLA fuses the whole gather+sqrt
     # chain above INTO the cumsum/scatter consumers below and re-evaluates
     # it per scan pass (~20x recompute; measured 5 ms -> 100 ms).
-    row_loc, row_tiles, row_pt = jax.lax.optimization_barrier(
-        (row_loc, row_tiles, row_pt))
+    row_table, row_tiles = jax.lax.optimization_barrier(
+        (row_table, row_tiles))
 
     # ---- expansion 2: (point, row) -> (point, row, tile) = table entry ----
-    ent_owner, ent_rank, ent_valid, total_entries = expand_by_counts(
-        row_tiles, entry_capacity)
-    ent_loc = jnp.take(row_loc, ent_owner)
+    ent_owner, ent_rank, ent_valid, total_entries, ev = expand_with_table(
+        row_tiles, entry_capacity, row_table)
+    ent_pt = bc_f2i(ev[:, 0])
+    ent_loc = bc_f2i(ev[:, 1])
     ent_tile = ((ent_loc // 8192) * tiles_x + ent_loc % 8192 + ent_rank)
-    ent_pt = jnp.take(row_pt, ent_owner)
     ent_tile, ent_pt, ent_valid = jax.lax.optimization_barrier(
         (ent_tile, ent_pt, ent_valid))
 
@@ -294,10 +346,16 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     # a neighboring tile's entries.  Pad slots carry entry_valid=False.
     blk = 128
     blocks = (tile_count + blk - 1) // blk
-    owner_tile, rank, in_cap, total_aligned = expand_by_counts(
-        blocks * blk, entry_capacity)
-    src = jnp.take(tile_start, owner_tile) + rank
-    in_seg = (rank < jnp.take(tile_count, owner_tile)) & in_cap
+    tile_table = jnp.stack([bc_i2f(tile_start), bc_i2f(tile_count)], axis=1)
+    owner_tile, rank, in_cap, total_aligned, tv = expand_with_table(
+        blocks * blk, entry_capacity, tile_table)
+    src = bc_f2i(tv[:, 0]) + rank
+    # AND with src < true entry count: on table overflow the clamped src
+    # would otherwise re-gather the last sorted point into every overflowed
+    # slot with entry_valid=True (plausible-looking corruption); flagged
+    # overflow + invalid slots keeps the render merely incomplete instead
+    in_seg = ((rank < bc_f2i(tv[:, 1])) & in_cap
+              & (src < jnp.minimum(total_entries, entry_capacity)))
     point_al = jnp.where(
         in_seg, jnp.take(sorted_point, jnp.minimum(src, entry_capacity - 1)),
         0)

@@ -55,12 +55,22 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     boundary densification runs on replicated state so no resharding or
     extra DCN traffic is needed.  Returns the global device count.
     """
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            pass
+        elif explicit:
+            raise  # a requested multi-host bring-up must not silently
+            #        degrade to single-host
+    except ValueError:
+        if explicit:
+            raise
+        # else: no cluster environment to auto-detect -- single process
     return len(jax.devices())
 
 
@@ -93,7 +103,8 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                              pp: cfg.PipelineParams, caps: cfg.CapacityParams,
                              img_h: int, img_w: int, spatial_lr_scale: float,
                              sh_degree: int, collect_stats: bool,
-                             mesh: Mesh, interpret: bool = False):
+                             mesh: Mesh, interpret: bool = False,
+                             sharded_stats: bool = False):
     """Build the jitted multi-chip train step.
 
     The returned function takes ``(state, stats, chunk_origin, chunk_extend,
@@ -101,6 +112,12 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     where D = mesh size, with camera tensors sharded over ``data`` and
     everything else replicated; it returns (state, stats, metrics) with the
     same replicated placement.
+
+    ``sharded_stats``: keep the densification statistics accumulators
+    sharded over the primitive axis (P('data')) and merge each step's
+    delta with ``psum_scatter`` instead of a replicated ``psum`` -- D x
+    less stats memory and all-reduce traffic; feeds the sharded
+    densification pass (parallel.densify).
     """
     import math as pymath
     tile_h, tile_w = pp.tile_size
@@ -143,9 +160,23 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
         lrs = LearningRates.from_config(op, spatial_lr_scale, state.step)
         new_params, new_adam = sparse_adam_step(
             state.params, grads, state.adam, lrs, chunk_mask, chunk_size)
-        new_state = TrainState(params=new_params, adam=new_adam,
-                               active_count=state.active_count,
-                               step=state.step + 1)
+
+        # overflow-safe stepping (any chip truncating => global no-op; see
+        # trainer.make_train_step) -- the mean gradient already mixes every
+        # chip's contribution, so one truncated view poisons all of it
+        overflow = jax.lax.pmax(out.overflow.astype(jnp.int32),
+                                DATA_AXIS) > 0
+
+        def keep_old(new, old):
+            return jax.tree.map(
+                lambda a, b: jnp.where(overflow, b, a), new, old)
+
+        new_params = keep_old(new_params, state.params)
+        new_adam = keep_old(new_adam, state.adam)
+        new_state = TrainState(
+            params=new_params, adam=new_adam,
+            active_count=state.active_count,
+            step=state.step + jnp.where(overflow, 0, 1))
 
         if collect_stats:
             aux = out.aux
@@ -173,21 +204,26 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             delta = statistics.update_stats(
                 zero, culled.chunk_ids, culled.valid,
                 out.primitive_visible, rstats, chunk_size)
-            delta = jax.lax.psum(delta, DATA_AXIS)
-            stats = jax.tree.map(jnp.add, stats, delta)
+            if sharded_stats:
+                from . import densify as pdensify
+                new_stats = pdensify.scatter_stats_update(stats, delta)
+            else:
+                delta = jax.lax.psum(delta, DATA_AXIS)
+                new_stats = jax.tree.map(jnp.add, stats, delta)
+            stats = keep_old(new_stats, stats)
 
         psnr = jax.lax.pmean(losses.psnr(out.img, gt_image), DATA_AXIS)
-        overflow = jax.lax.pmax(out.overflow.astype(jnp.int32),
-                                DATA_AXIS) > 0
         metrics = {"loss": loss, "psnr": psnr, "overflow": overflow,
                    "sizes": jax.lax.pmax(out.sizes, DATA_AXIS)}
         return new_state, stats, metrics
 
     rep = P()
     cam = P(DATA_AXIS)
+    stats_spec = (statistics.StatsState(*([P(DATA_AXIS)] * 7))
+                  if sharded_stats else rep)
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, cam, cam, cam, cam, cam),
-        out_specs=(rep, rep, rep),
+        in_specs=(rep, stats_spec, rep, rep, cam, cam, cam, cam, cam),
+        out_specs=(rep, stats_spec, rep),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0, 1))

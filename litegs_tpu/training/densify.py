@@ -100,17 +100,53 @@ def get_score(params: GaussianParams, stats: statistics.StatsState,
     return jnp.where(active_mask, score, 0.0)
 
 
+def taming_budget(prune_num, active_count, epoch: int, dp: DensifyParams,
+                  densify_until: int, init_points_num: int,
+                  chunk_size: int, capacity: int):
+    """Append budget: linear ramp to target (+ prune slack), chunk-trimmed
+    (reference densify.py:304-305)."""
+    span = max(densify_until - dp.densify_from, 1)
+    cur_target = ((dp.target_primitives - init_points_num) / span
+                  * (epoch - dp.densify_from) + init_points_num)
+    budget = jnp.minimum(
+        jnp.maximum((cur_target - active_count).astype(jnp.int32), 1)
+        + prune_num, active_count)
+    # never grow past capacity (static guard; reference reallocates)
+    budget = jnp.minimum(budget, capacity - active_count)
+    return (budget // chunk_size) * chunk_size
+
+
+def taming_sample_keys(score, key, capacity: int):
+    """Gumbel top-k == multinomial without replacement (densify.py:308).
+
+    Deterministic per primitive index for a given key -- the sharded layer
+    generates the same [capacity] vector and slices its shard, so sharded
+    selection is bit-identical to replicated."""
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, (capacity,), minval=1e-10, maxval=1.0)))
+    return jnp.where(score > 0, jnp.log(score) + gumbel, -jnp.inf)
+
+
 def split_and_clone(params: GaussianParams, adam: AdamState,
                     stats: statistics.StatsState, active_count,
                     epoch: int, key, dp: DensifyParams,
                     densify_until: int, init_points_num: int,
-                    screen_extent: float, chunk_size: int):
-    """Budgeted densification step (reference densify.py:294-363)."""
+                    screen_extent: float, chunk_size: int,
+                    selected=None):
+    """Budgeted densification step (reference densify.py:294-363).
+
+    ``selected``: optional precomputed [capacity] selection mask (the
+    sharded densification layer computes it from sharded stats +
+    distributed top-k, litegs_tpu/parallel/densify.py, then reuses this
+    append tail so replicated and sharded paths stay bit-identical).
+    """
     n = params.capacity
     idx = jnp.arange(n)
     active_mask = idx < active_count
 
-    if dp.densify_mode == "official":
+    if selected is not None:
+        budget = jnp.sum(selected)
+    elif dp.densify_mode == "official":
         # original-3DGS criterion: mean NDC positional-gradient norm over
         # the statistics window >= threshold (no primitive budget)
         mean_grad = statistics.mean_grad_norm(stats)
@@ -121,21 +157,10 @@ def split_and_clone(params: GaussianParams, adam: AdamState,
         selected = want & (rank_of < budget)
     else:
         prune_num = jnp.sum(get_prune_mask(params, stats, active_mask, dp))
-        span = max(densify_until - dp.densify_from, 1)
-        cur_target = ((dp.target_primitives - init_points_num) / span
-                      * (epoch - dp.densify_from) + init_points_num)
-        budget = jnp.minimum(
-            jnp.maximum((cur_target - active_count).astype(jnp.int32), 1)
-            + prune_num, active_count)
-        # never grow past capacity (static guard; reference reallocates)
-        budget = jnp.minimum(budget, n - active_count)
-        budget = (budget // chunk_size) * chunk_size  # chunk-mult append
-
-        # Gumbel top-k == multinomial without replacement (densify.py:308)
+        budget = taming_budget(prune_num, active_count, epoch, dp,
+                               densify_until, init_points_num, chunk_size, n)
         score = get_score(params, stats, active_mask)
-        gumbel = -jnp.log(-jnp.log(
-            jax.random.uniform(key, (n,), minval=1e-10, maxval=1.0)))
-        sample_key = jnp.where(score > 0, jnp.log(score) + gumbel, -jnp.inf)
+        sample_key = taming_sample_keys(score, key, n)
         order = jnp.argsort(-sample_key)
         rank_of = jnp.zeros(n, jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
@@ -174,20 +199,34 @@ def split_and_clone(params: GaussianParams, adam: AdamState,
 
 def prune(params: GaussianParams, adam: AdamState,
           stats: statistics.StatsState, active_count, dp: DensifyParams,
-          chunk_size: int, stats_valid_count=None):
+          chunk_size: int, stats_valid_count=None, prune_mask=None):
     """Compact pruned primitives out via a stable permutation
     (reference densify.py:138-157 + _prune_optimizer :72-98).
 
     stats_valid_count: primitives appended after the statistics were
     collected must not be pruned by zero-weight (the reference's prune mask
     only ORs `invisible` over the pre-append prefix, densify.py:278-280).
+    prune_mask: optional precomputed [capacity] mask (sharded path).
     """
     n = params.capacity
     idx = jnp.arange(n)
     active_mask = idx < active_count
     if stats_valid_count is not None:
         active_mask &= idx < stats_valid_count
-    prune_mask = get_prune_mask(params, stats, active_mask, dp)
+    if prune_mask is None:
+        prune_mask = get_prune_mask(params, stats, active_mask, dp)
+    else:
+        prune_mask = prune_mask & active_mask
+    # sanity abort: a run about to prune >80% of its primitives is broken
+    # (diverged opacities / dead stats); the reference hard-asserts here
+    # (densify.py:146-147).  Host-level check -- densify runs at epoch
+    # boundaries where a readback is already paid.
+    n_prune = int(jnp.sum(prune_mask))
+    n_active = max(int(active_count), 1)
+    if n_prune > 0.8 * n_active:
+        raise RuntimeError(
+            f"densify prune would remove {n_prune}/{n_active} (>80%) of "
+            "primitives -- aborting (reference densify.py:146-147)")
     # trim to chunk multiple: only the first del_limit pruned primitives
     # are removed (densify.py:148-154)
     prune_rank = jnp.cumsum(prune_mask) - 1
