@@ -97,11 +97,16 @@ def expand_with_table(counts, capacity: int, table):
     Args:
       counts: [m] int32 per-item expansion counts.
       capacity: static output length.
-      table: [m, K] f32 per-item payload (bitcast int columns to f32).
+      table: [m, K] f32 per-item payload.  Integer columns MUST be encoded
+        as exact f32 VALUES (< 2^24), never bitcast: small int bit
+        patterns are f32 *denormals* and the TPU flushes denormals to
+        zero in compute/relayout paths (caught by the on-chip parity
+        check -- interpret mode preserves bits and cannot see it).
     Returns (owner [cap] int32, rank [cap] int32, valid [cap] bool,
     total scalar, fetched [cap, K] f32).
     """
     m = counts.shape[0]
+    assert capacity < (1 << 24), "start offsets must stay exact in f32"
     counts = jax.lax.optimization_barrier(counts.astype(jnp.int32))
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -113,10 +118,9 @@ def expand_with_table(counts, capacity: int, table):
             item_ids, mode="drop", unique_indices=True))
     # one row-gather fetches start + payloads for every slot
     full = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(starts, jnp.float32)[:, None], table],
-        axis=1)
+        [starts.astype(jnp.float32)[:, None], table], axis=1)
     fetched = jnp.take(full, owner, axis=0)
-    start_of = jax.lax.bitcast_convert_type(fetched[:, 0], jnp.int32)
+    start_of = fetched[:, 0].astype(jnp.int32)
     slots = jnp.arange(capacity, dtype=jnp.int32)
     rank = slots - start_of
     valid = slots < total
@@ -278,17 +282,12 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     # Per-point payload table (depth-sorted item order): the point id, the
     # 6 quadratic inputs and the point-level tile rect, fetched at row
     # level in expand_with_table's single row-gather (measured ~6x cheaper
-    # than per-column 1-D gathers, scripts/microbench_r2.py).  Int columns
-    # <= 8192 ride as exact f32; the point id is bitcast.
-    def bc_i2f(x):
-        return jax.lax.bitcast_convert_type(x.astype(jnp.int32),
-                                            jnp.float32)
-
-    def bc_f2i(x):
-        return jax.lax.bitcast_convert_type(x, jnp.int32)
-
+    # than per-column 1-D gathers, scripts/microbench_r2.py).  Integer
+    # columns ride as exact f32 VALUES (< 2^24) -- see expand_with_table's
+    # denormal-flush note on why bitcasting is forbidden here.
+    assert m < (1 << 24)
     pt_table = jnp.stack([
-        bc_i2f(jnp.arange(m, dtype=jnp.int32)), px, py, a_s, b, c_s, t_s,
+        jnp.arange(m, dtype=jnp.float32), px, py, a_s, b, c_s, t_s,
         disc_s, rect_min_x.astype(jnp.float32),
         rect_max_x.astype(jnp.float32), rect_min_y.astype(jnp.float32),
     ], axis=1)
@@ -296,7 +295,7 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
 
     row_owner, row_rank, row_valid, total_rows, rv = expand_with_table(
         rows_sorted, row_capacity, pt_sorted)
-    row_pt = bc_f2i(rv[:, 0])                        # original point index
+    row_pt = rv[:, 0].astype(jnp.int32)              # original point index
     r_px, r_py = rv[:, 1], rv[:, 2]
     r_a, r_b, r_c, r_t = rv[:, 3], rv[:, 4], rv[:, 5], rv[:, 6]
     r_disc = jnp.where(row_valid, rv[:, 7], -1.0)
@@ -310,9 +309,10 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         row_y.astype(jnp.float32), float(tile_h), float(tile_w),
         r_min_x, r_max_x)
     row_tiles = jnp.where(row_valid, row_tiles, 0)
-    # pack (row_y, min_tile_x) into one word so expansion 2 fetches once
-    row_loc = row_y * 8192 + min_tile_x
-    row_table = jnp.stack([bc_i2f(row_pt), bc_i2f(row_loc)], axis=1)
+    # row-level payload for expansion 2: ids/coords as exact f32 values
+    row_table = jnp.stack([row_pt.astype(jnp.float32),
+                           row_y.astype(jnp.float32),
+                           min_tile_x.astype(jnp.float32)], axis=1)
     # Materialization fence: without it XLA fuses the whole gather+sqrt
     # chain above INTO the cumsum/scatter consumers below and re-evaluates
     # it per scan pass (~20x recompute; measured 5 ms -> 100 ms).
@@ -322,9 +322,9 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     # ---- expansion 2: (point, row) -> (point, row, tile) = table entry ----
     ent_owner, ent_rank, ent_valid, total_entries, ev = expand_with_table(
         row_tiles, entry_capacity, row_table)
-    ent_pt = bc_f2i(ev[:, 0])
-    ent_loc = bc_f2i(ev[:, 1])
-    ent_tile = ((ent_loc // 8192) * tiles_x + ent_loc % 8192 + ent_rank)
+    ent_pt = ev[:, 0].astype(jnp.int32)
+    ent_tile = (ev[:, 1].astype(jnp.int32) * tiles_x
+                + ev[:, 2].astype(jnp.int32) + ent_rank)
     ent_tile, ent_pt, ent_valid = jax.lax.optimization_barrier(
         (ent_tile, ent_pt, ent_valid))
 
@@ -346,15 +346,16 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     # a neighboring tile's entries.  Pad slots carry entry_valid=False.
     blk = 128
     blocks = (tile_count + blk - 1) // blk
-    tile_table = jnp.stack([bc_i2f(tile_start), bc_i2f(tile_count)], axis=1)
+    tile_table = jnp.stack([tile_start.astype(jnp.float32),
+                            tile_count.astype(jnp.float32)], axis=1)
     owner_tile, rank, in_cap, total_aligned, tv = expand_with_table(
         blocks * blk, entry_capacity, tile_table)
-    src = bc_f2i(tv[:, 0]) + rank
+    src = tv[:, 0].astype(jnp.int32) + rank
     # AND with src < true entry count: on table overflow the clamped src
     # would otherwise re-gather the last sorted point into every overflowed
     # slot with entry_valid=True (plausible-looking corruption); flagged
     # overflow + invalid slots keeps the render merely incomplete instead
-    in_seg = ((rank < bc_f2i(tv[:, 1])) & in_cap
+    in_seg = ((rank < tv[:, 1].astype(jnp.int32)) & in_cap
               & (src < jnp.minimum(total_entries, entry_capacity)))
     point_al = jnp.where(
         in_seg, jnp.take(sorted_point, jnp.minimum(src, entry_capacity - 1)),

@@ -125,12 +125,14 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
         conv = raster_pallas.moments_to_grads(
             g16, cache.packed.mu_local, params[12:15, :e], params[15, :e])
         ids = table.sorted_point
-        # one fused [E, 10] reduction: d_color(4), d_invcov(3), d_mean(2),
-        # d_opacity(1)
-        stacked = jnp.concatenate(
+        # ten 1-D reductions: the multi-column scatter-add lowers ~14x
+        # slower PER ELEMENT than 1-D (measured 494 ms for [4.8M,10] vs
+        # 35 ms for one [4.8M] column; scripts/microbench_reduce.py)
+        rows = jnp.concatenate(
             [conv["d_color"], conv["d_invcov"], conv["d_mean"],
-             conv["d_opacity"][None]], axis=0).T
-        red = _segment(stacked, ids, m).T                    # [10, M]
+             conv["d_opacity"][None]], axis=0)               # [10, E]
+        red = jnp.stack([_segment(rows[i], ids, m)
+                         for i in range(10)])                # [10, M]
         return red[7:9], red[4:7], red[0:4], red[9]
 
     _raster.defvjp(_raster_fwd, _raster_bwd)
@@ -196,11 +198,10 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
     ids = table.sorted_point
     conv = raster_pallas.moments_to_grads(
         g16, cache.packed.mu_local, params[12:15, :e], op_e)
-    # one fused [E, 6] reduction: weight, count, err, err2, d_mean(2)
-    stacked = jnp.stack(
-        [g16[11], g16[12], g16[10] / op_e, g16[13] / (op_e * op_e),
-         conv["d_mean"][0], conv["d_mean"][1]], axis=1)
-    red = _segment(stacked, ids, m).T                       # [6, M]
+    # six 1-D reductions (see the 1-D vs multi-column scatter note above)
+    rows = [g16[11], g16[12], g16[10] / op_e, g16[13] / (op_e * op_e),
+            conv["d_mean"][0], conv["d_mean"][1]]
+    red = jnp.stack([_segment(r, ids, m) for r in rows])    # [6, M]
     # positional gradient in NDC units (ndc_to_pixel: px = (x*.5+.5)*W)
     sx = 0.5 * (img_w if img_w else tiles_x * tile_w)
     sy = 0.5 * (img_h if img_h else (tiles_total // tiles_x) * tile_h)

@@ -104,7 +104,8 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                              img_h: int, img_w: int, spatial_lr_scale: float,
                              sh_degree: int, collect_stats: bool,
                              mesh: Mesh, interpret: bool = False,
-                             sharded_stats: bool = False):
+                             sharded_stats: bool = False,
+                             lr_scale: float = 1.0):
     """Build the jitted multi-chip train step.
 
     The returned function takes ``(state, stats, chunk_origin, chunk_extend,
@@ -158,6 +159,12 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                                   DATA_AXIS) > 0
 
         lrs = LearningRates.from_config(op, spatial_lr_scale, state.step)
+        if lr_scale != 1.0:
+            # large-batch compensation: one mean-gradient update replaces D
+            # sequential updates; sqrt(D) is the Adam-appropriate default
+            # (Adam's m/sqrt(v) is invariant to gradient *scaling*, so only
+            # the lr can restore the lost D-step progress)
+            lrs = LearningRates(*[l * lr_scale for l in lrs])
         new_params, new_adam = sparse_adam_step(
             state.params, grads, state.adam, lrs, chunk_mask, chunk_size)
 

@@ -70,7 +70,9 @@ def main():
         imgs = np.random.default_rng(0).random(
             (d, 3, img_h, img_w)).astype(np.float32)
         batch = camera_batch_from_frames(cam, frames, imgs)
-        state = TrainState(params=params, adam=init_adam(params),
+        # fresh copies: replicate() may alias for D=1 and the step donates
+        params_d = jax.tree.map(jnp.array, params)
+        state = TrainState(params=params_d, adam=init_adam(params_d),
                            active_count=jnp.int32(n_points),
                            step=jnp.int32(0))
         stats = statistics.init_stats(caps.primitive_capacity)
