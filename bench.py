@@ -106,34 +106,43 @@ def main():
     probe_fn = make_train_step(lp, op_, pp, caps, img_h, img_w,
                                spatial_lr_scale=1.0, sh_degree=sh_degree,
                                collect_stats=False, interpret=interp)
-    state, stats, _, pm = probe_fn(state, stats, origin, extend,
-                                   batch.view[0], batch.proj[0],
-                                   batch.planes[0], batch.center[0],
-                                   batch.images[0], None, jnp.int32(0))
-    true_sizes = np.asarray(pm["sizes"]) * [1.0, 1.1, 1.1]  # cross-frame pad
-    caps = cfg.bucketed_capacity(caps.primitive_capacity,
-                                 *map(int, true_sizes))
-    print(f"[bench] observed sizes={sizes_max.tolist()} -> caps "
-          f"vis={caps.visible_capacity} rows={caps.row_capacity} "
-          f"entries={caps.entry_capacity}", file=sys.stderr)
-    step_fn = make_train_step(lp, op_, pp, caps, img_h, img_w,
-                              spatial_lr_scale=1.0, sh_degree=sh_degree,
-                              collect_stats=False, interpret=interp)
+    # one probe step per frame -> PER-FRAME capacity buckets (the
+    # reference's per-camera feedback buffers, data.py:236-245): light
+    # frames don't pay the heaviest frame's padding
+    frame_caps = []
+    for f in range(n_frames):
+        state, stats, _, pm = probe_fn(state, stats, origin, extend,
+                                       batch.view[f], batch.proj[f],
+                                       batch.planes[f], batch.center[f],
+                                       batch.images[f], None, jnp.int32(f))
+        ts = np.asarray(pm["sizes"]) * [1.0, 1.05, 1.05]
+        frame_caps.append(cfg.bucketed_capacity(caps.primitive_capacity,
+                                                *map(int, ts)))
+    print(f"[bench] per-frame caps entries="
+          f"{[c.entry_capacity for c in frame_caps]}", file=sys.stderr)
+    step_fns = {}
+    for c in frame_caps:
+        if c not in step_fns:
+            step_fns[c] = make_train_step(
+                lp, op_, pp, c, img_h, img_w, spatial_lr_scale=1.0,
+                sh_degree=sh_degree, collect_stats=False,
+                interpret=interp)
+    caps = max(frame_caps, key=lambda c: c.entry_capacity)
 
     def run(i):
         nonlocal state, stats
         f = i % n_frames
-        state, stats, _, metrics = step_fn(
+        state, stats, _, metrics = step_fns[frame_caps[f]](
             state, stats, origin, extend, batch.view[f], batch.proj[f],
             batch.planes[f], batch.center[f], batch.images[f],
             None, jnp.int32(f))
         return metrics
 
-    # warmup / compile
+    # warmup / compile (every frame: per-frame buckets compile lazily)
     m = run(0)
     jax.block_until_ready(state)
     overflow = bool(m["overflow"])
-    for i in range(1, 3):
+    for i in range(1, n_frames + 1):
         m = run(i)
     jax.block_until_ready(state)
 

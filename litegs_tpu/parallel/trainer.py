@@ -9,9 +9,11 @@ except the densification statistics, which live sharded over the
 primitive axis and feed the sharded densify pass (parallel/densify.py).
 
 Semantics difference vs sequential (documented in parallel/__init__.py):
-one mean-gradient update replaces D sequential updates.  ``lr_scale``
-(default sqrt(D)) compensates; scripts/convergence_parallel.py measures
-final-PSNR parity against the sequential trainer at equal images seen.
+one mean-gradient update replaces D sequential updates.  Measured
+(CONVERGENCE_r2.md): at equal optimizer updates the parallel run matches
+or exceeds sequential with NO lr scaling; at equal images it is
+update-starved and lr scaling does not help (Adam is gradient-scale
+invariant), so provision schedules in optimizer updates, not images.
 """
 from __future__ import annotations
 
@@ -46,7 +48,11 @@ class ParallelTrainer:
     spatial_lr_scale: float
     mesh: object = None
     n_devices: Optional[int] = None
-    lr_scale: Optional[float] = None  # default sqrt(D)
+    # lr multiplier for the D-views-per-update semantics.  Measured
+    # (CONVERGENCE_r2.md): at equal optimizer updates the mean-gradient
+    # step needs NO scaling (and sqrt(D)/linear scaling hurt -- Adam is
+    # already gradient-scale invariant), so the default is 1.0.
+    lr_scale: float = 1.0
     interpret: bool = False
     seed: int = 0
 
@@ -60,8 +66,6 @@ class ParallelTrainer:
         assert self.n_frames % self.d == 0, \
             f"frames ({self.n_frames}) must be a multiple of mesh size " \
             f"({self.d}) -- pad or drop frames"
-        if self.lr_scale is None:
-            self.lr_scale = float(np.sqrt(self.d))
         # one epoch sees every frame once = F/D steps of D views
         self.steps_per_epoch = self.n_frames // self.d
         self.total_epochs = max(

@@ -235,8 +235,9 @@ class Trainer:
         self._eval_cache = {}
         self.key = jax.random.PRNGKey(self.seed)
         self.overflow_count = 0
-        # capacity feedback: observed per-view maxima of
+        # capacity feedback [n_frames, 3]: per-frame running maxima of
         # (visible primitives, rows, entries); None until the first epoch
+        # (the reference's per-camera FramesBuffer, data.py:236-245)
         self.size_feedback = None
         self.overflow_last_epoch = False
         self.pose_state = None
@@ -271,17 +272,19 @@ class Trainer:
         return (self.dp.densify_from <= epoch < self.densify_until
                 and epoch % self.dp.densification_interval == 0)
 
-    def _epoch_caps(self) -> cfg.CapacityParams:
-        """Capacities for the next epoch from the feedback signal.
+    def _frame_caps(self, frame: int) -> cfg.CapacityParams:
+        """Capacities for one frame from the per-frame feedback signal.
 
         The reference predicts buffer sizes from the previous epoch's value
-        for the same camera with a 1.2x/1.5x margin (compact.cu:527-551,
-        binning.cu:137-169); here the epoch's observed maxima pick a bucket
-        on a geometric grid so only a handful of step variants ever compile.
+        for the SAME camera with a 1.2x/1.5x margin (compact.cu:527-551,
+        binning.cu:137-169; FramesBuffer is per-frame, data.py:236-245);
+        here each frame's observed maxima pick a bucket on a geometric
+        grid, so a handful of step variants serve all cameras and light
+        frames don't pay the heaviest frame's padding.
         """
         if not self.pp.adaptive_capacity or self.size_feedback is None:
             return self.caps
-        vis, rows, ents = (int(x) for x in self.size_feedback)
+        vis, rows, ents = (int(x) for x in self.size_feedback[frame])
         margin = 1.3 * (1.5 if self.overflow_last_epoch else 1.0)
         return cfg.bucketed_capacity(self.caps.primitive_capacity,
                                      vis, rows, ents, margin)
@@ -318,7 +321,6 @@ class Trainer:
         """
         sh_deg = self._sh_degree(epoch)
         collect = self.is_densify_active(epoch)
-        step_fn = self._get_step(sh_deg, collect, self._epoch_caps())
         origin, extend = masked_chunk_aabb(state.params, state.active_count,
                                            self.pp.cluster_size)
         if frame_ids is None:
@@ -328,6 +330,7 @@ class Trainer:
         pending = []
         for i in frame_ids:
             i = int(i)
+            step_fn = self._get_step(sh_deg, collect, self._frame_caps(i))
             state, stats, self.pose_state, metrics = step_fn(
                 state, stats, origin, extend, self.data.view[i],
                 self.data.proj[i], self.data.planes[i],
@@ -340,16 +343,20 @@ class Trainer:
         n_over = len(overflowed)
         self.overflow_count += n_over
         self.overflow_last_epoch = n_over > 0
-        sizes_max = np.max(np.stack([g["sizes"] for g in got]), axis=0)
+        sizes = np.stack([g["sizes"] for g in got])      # [len(ids), 3]
         if "tile_count" in got[0]:
             self.tile_blend_max = np.max(
                 np.stack([g["tile_count"] for g in got]), axis=0)
         if self.size_feedback is None:
-            self.size_feedback = sizes_max
-        else:
-            # running max: a transiently small epoch must not shrink the
-            # bucket (shrinking thrashes compiles and invites overflow)
-            self.size_feedback = np.maximum(sizes_max, self.size_feedback)
+            # first epoch: seed every frame with the global max (frames
+            # not in this epoch's id list have no observation yet)
+            self.size_feedback = np.broadcast_to(
+                sizes.max(axis=0), (self.n_frames, 3)).copy()
+        # per-frame running max: a transiently small epoch must not shrink
+        # the bucket (shrinking thrashes compiles and invites overflow)
+        for i, s in zip(frame_ids, sizes):
+            self.size_feedback[int(i)] = np.maximum(
+                self.size_feedback[int(i)], s)
 
         # Overflowed frames had their update skipped (overflow-safe step);
         # retrain them with re-bucketed capacities so no iteration ever

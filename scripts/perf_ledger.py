@@ -165,12 +165,16 @@ def main():
     mean_pix = projection.ndc_to_pixel(ndc, img_h, img_w)
     color4 = jnp.pad(culled.color, ((0, 1), (0, 0)))
 
-    def stage_pack(mean_pix, inv_cov, color4, opacity):
+    # big arrays ride as ARGUMENTS, not closures: closed-over device
+    # arrays are baked into the compile payload and the axon tunnel
+    # rejects >~100MB programs (HTTP 413)
+    def stage_pack(mean_pix, inv_cov, color4, opacity, table):
         return raster_ops.build_cache(mean_pix, inv_cov, color4, opacity,
                                       table, tiles_total, tiles_x, th, tw,
                                       has_depth=False)
 
-    cache = jax.jit(stage_pack)(mean_pix, inv_cov, color4, culled.opacity)
+    cache = jax.jit(stage_pack)(mean_pix, inv_cov, color4, culled.opacity,
+                                table)
 
     def stage_fwd(params_packed, bt, bc):
         return raster_pallas.raster_forward_pallas(
@@ -191,16 +195,17 @@ def main():
 
     e = table.sorted_point.shape[0]
 
-    def stage_reduce(grads16):
-        g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
-        p = cache.packed.params
+    def stage_reduce(grads16, p, mu_local, entry_valid, sorted_point):
+        g16 = jnp.where(entry_valid[None, :], grads16[:, :e], 0.0)
         conv = raster_pallas.moments_to_grads(
-            g16, cache.packed.mu_local, p[12:15, :e], p[15, :e])
-        stacked = jnp.concatenate(
+            g16, mu_local, p[12:15, :e], p[15, :e])
+        rows = jnp.concatenate(
             [conv["d_color"], conv["d_invcov"], conv["d_mean"],
-             conv["d_opacity"][None]], axis=0).T
-        return jax.ops.segment_sum(stacked, table.sorted_point,
-                                   num_segments=mean_pix.shape[1]).T
+             conv["d_opacity"][None]], axis=0)
+        return jnp.stack([
+            jax.ops.segment_sum(rows[i], sorted_point,
+                                num_segments=mean_pix.shape[1])
+            for i in range(10)])
 
     def stage_loss_grad(img, gt):
         return jax.grad(lambda im: losses.fused_l1_ssim_loss(
@@ -245,14 +250,16 @@ def main():
                              ndc, view_pos[2], inv_cov, culled.opacity,
                              culled.valid)
     total["pack"] = bench("pack(build_cache)", stage_pack, mean_pix,
-                          inv_cov, color4, culled.opacity)
+                          inv_cov, color4, culled.opacity, table)
     total["fwd_kernel"] = bench("raster fwd kernel", stage_fwd,
                                 cache.packed.params, cache.block_tile,
                                 cache.block_cnt)
     total["bwd_kernel"] = bench("raster bwd kernel", stage_bwd_kernel,
                                 cache.packed.params, dtiles,
                                 cache.block_tile, cache.block_cnt)
-    total["reduce"] = bench("bwd segment reduce", stage_reduce, grads16)
+    total["reduce"] = bench("bwd segment reduce", stage_reduce, grads16,
+                            cache.packed.params, cache.packed.mu_local,
+                            table.entry_valid, table.sorted_point)
     total["loss_grad"] = bench("ssim+l1 loss grad", stage_loss_grad, img,
                                gt0)
     total["adam"] = bench("sparse adam", stage_adam, state.params, grads,

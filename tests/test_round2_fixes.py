@@ -1,0 +1,56 @@
+"""Unit tests for round-2 fixes: ply header guard, checkpoint treedef
+validation, multi-host frame sharding, capacity bucket slack."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from litegs_tpu import config as cfg
+from litegs_tpu.io import checkpoint as ckpt
+from litegs_tpu.io import ply as ply_io
+from litegs_tpu.training.start import shard_frames_for_process
+
+
+def test_ply_rejects_non_vertex_first(tmp_path):
+    p = tmp_path / "bad.ply"
+    p.write_bytes(
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element face 1\nproperty float dummy\n"
+        b"element vertex 1\nproperty float x\nproperty float y\n"
+        b"property float z\nend_header\n" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="vertex element first"):
+        ply_io.read_ply_vertices(str(p))
+
+
+def test_checkpoint_treedef_mismatch_rejected(tmp_path):
+    state = {"a": jnp.zeros((4,)), "b": jnp.ones((4,))}
+    path = ckpt.save_checkpoint(str(tmp_path), 3, state)
+    # same leaf count + shapes, different structure
+    bad_template = (jnp.zeros((4,)), jnp.zeros((4,)))
+    with pytest.raises(AssertionError, match="treedef"):
+        ckpt.load_checkpoint(path, bad_template)
+    epoch, restored = ckpt.load_checkpoint(path, state)
+    assert epoch == 3
+    np.testing.assert_array_equal(np.asarray(restored["b"]), 1.0)
+
+
+def test_shard_frames_round_robin():
+    frames = list(range(10))
+    shards = [shard_frames_for_process(frames, i, 4) for i in range(4)]
+    # disjoint cover
+    flat = sorted(f for s in shards for f in s)
+    assert flat == frames
+    assert shards[0] == [0, 4, 8]
+    assert shards[3] == [3, 7]
+    # single process = identity
+    assert shard_frames_for_process(frames, 0, 1) == frames
+
+
+def test_bucket_slack_bound():
+    rng = np.random.default_rng(0)
+    for x in rng.integers(1_000, 10_000_000, 200):
+        b = cfg.bucket_size(int(x))
+        assert b >= int(x * 1.3)
+        assert b <= int(x * 1.3 * 1.2) + 256, (x, b)
+        assert b % 128 == 0
