@@ -28,10 +28,22 @@ def ssim(img, gt) -> float:
 def lpips_fn() -> Optional[Callable]:
     """Returns lpips(img, gt) -> float or None if weights are unavailable.
 
-    Tries the ``lpips`` package (torch, VGG backbone) like the reference's
-    torchmetrics LPIPS-vgg; both need downloaded weights, so this is
-    expected to be None in air-gapped environments.
+    Prefers the framework's native JAX LPIPS-vgg (ops/lpips.py) fed by a
+    local weight file (env LPIPS_WEIGHTS; see scripts/
+    export_lpips_weights.py); falls back to the ``lpips`` torch package if
+    installed.  Both need pretrained weights, so this returns None in a
+    fully air-gapped environment and the eval harness reports 'n/a'.
     """
+    from .ops import lpips as jlpips
+
+    weights = None
+    try:
+        weights = jlpips.load_weights()
+    except ValueError:
+        weights = None
+    if weights is not None:
+        return lambda img, gt: jlpips.lpips_distance(img, gt, weights)
+
     try:
         import lpips as lpips_pkg  # noqa: F401
         import torch

@@ -125,14 +125,18 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
         conv = raster_pallas.moments_to_grads(
             g16, cache.packed.mu_local, params[12:15, :e], params[15, :e])
         ids = table.sorted_point
-        # ten 1-D reductions: the multi-column scatter-add lowers ~14x
-        # slower PER ELEMENT than 1-D (measured 494 ms for [4.8M,10] vs
-        # 35 ms for one [4.8M] column; scripts/microbench_reduce.py)
+        # per-column 1-D reductions: the multi-column scatter-add lowers
+        # ~14x slower PER ELEMENT than 1-D (measured 494 ms for [4.8M,10]
+        # vs 35 ms per column; scripts/microbench_reduce.py), and each
+        # column costs ~21 ms at bench scale -- skip the known-zero depth
+        # column when the render has no depth channel
         rows = jnp.concatenate(
             [conv["d_color"], conv["d_invcov"], conv["d_mean"],
              conv["d_opacity"][None]], axis=0)               # [10, E]
-        red = jnp.stack([_segment(rows[i], ids, m)
-                         for i in range(10)])                # [10, M]
+        live = [0, 1, 2, 4, 5, 6, 7, 8, 9] if nchan == 3 else range(10)
+        red_rows = {i: _segment(rows[i], ids, m) for i in live}
+        zero = jnp.zeros((m,), rows.dtype)
+        red = jnp.stack([red_rows.get(i, zero) for i in range(10)])
         return red[7:9], red[4:7], red[0:4], red[9]
 
     _raster.defvjp(_raster_fwd, _raster_bwd)

@@ -54,3 +54,40 @@ def test_bucket_slack_bound():
         assert b >= int(x * 1.3)
         assert b <= int(x * 1.3 * 1.2) + 256, (x, b)
         assert b % 128 == 0
+
+
+def test_lpips_native_runs_with_synthetic_weights(tmp_path, monkeypatch):
+    """The native JAX LPIPS computes (zero for identical images,
+    positive and finite for different ones) given a weight file."""
+    rng = np.random.default_rng(0)
+    n_convs = 13
+    widths = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512,
+              512]
+    arrays = {}
+    cin = 3
+    for i, cout in enumerate(widths):
+        arrays[f"conv{i}_weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) * 0.05
+        arrays[f"conv{i}_bias"] = np.zeros(cout, np.float32)
+        cin = cout
+    for k, c in enumerate([64, 128, 256, 512, 512]):
+        arrays[f"lin{k}"] = np.abs(
+            rng.standard_normal(c).astype(np.float32))
+    wpath = tmp_path / "lpips_vgg.npz"
+    np.savez(wpath, **arrays)
+    monkeypatch.setenv("LPIPS_WEIGHTS", str(wpath))
+
+    from litegs_tpu import metrics
+    fn = metrics.lpips_fn()
+    assert fn is not None
+    img = rng.random((3, 32, 32)).astype(np.float32)
+    gt = rng.random((3, 32, 32)).astype(np.float32)
+    assert fn(img, img) == pytest.approx(0.0, abs=1e-6)
+    d = fn(img, gt)
+    assert np.isfinite(d) and d > 0
+
+
+def test_lpips_unavailable_without_weights(monkeypatch, tmp_path):
+    monkeypatch.setenv("LPIPS_WEIGHTS", str(tmp_path / "missing.npz"))
+    from litegs_tpu import metrics
+    assert metrics.lpips_fn() is None
