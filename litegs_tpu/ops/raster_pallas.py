@@ -212,7 +212,12 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
 
     grad_ref[:, :] = jnp.zeros((GRAD_ROWS, G_BLK), jnp.float32)
 
-    @pl.when(count_left > 0)
+    # saturation early-out, mirroring the forward (raster.cu:260): once
+    # every pixel's plain transmittance is below T_MIN, all remaining
+    # blocks of the tile have w == 0 and d_alpha == 0 -- their gradient
+    # rows stay at the zeros written above, and the carry can go stale
+    # because t_plain only decreases (every later block skips too)
+    @pl.when((count_left > 0) & (jnp.max(carry[0, :]) > T_MIN))
     def _():
         h_feat, _ = _pixel_features(tile_h, tile_w)
         d_col = dtile_ref[0, 0:4, :]                 # [4, P] upstream dC
