@@ -91,3 +91,32 @@ def test_lpips_unavailable_without_weights(monkeypatch, tmp_path):
     monkeypatch.setenv("LPIPS_WEIGHTS", str(tmp_path / "missing.npz"))
     from litegs_tpu import metrics
     assert metrics.lpips_fn() is None
+
+
+def test_disable_culling_matches_for_fully_visible_scene():
+    """--disable_culling keeps every chunk; for a scene entirely inside
+    the frustum the render must be identical to the culled one."""
+    import jax.numpy as jnp
+    from litegs_tpu import config, data, render, scene
+
+    cam, frames = data.synthetic.make_cameras(1, 64, 96, seed=0)
+    xyz, rgb = data.synthetic.make_gaussian_cloud(600, seed=1)
+    params = scene.pad_params(scene.create_gaussians(xyz, rgb, 1), 768)
+    caps = config.CapacityParams(768, 768, 8192, 16384)
+    xyz_a, s_a, r_a, _ = scene.activate(params)
+    origin, extend = scene.cluster.chunk_aabb(xyz_a, s_a, r_a, 128)
+    f = frames[0]
+    planes = jnp.asarray(f.frustumplane(cam.proj_matrix()))
+    center = jnp.asarray(f.camera_center(), jnp.float32)
+    view = jnp.asarray(f.view_matrix())
+    proj = jnp.asarray(cam.proj_matrix())
+
+    outs = []
+    for disable in (False, True):
+        pp = config.PipelineParams(raster_backend="jnp",
+                                   disable_culling=disable)
+        culled = render.render_preprocess(params, origin, extend, planes,
+                                          center, 1, pp, caps)
+        v = render.render(culled, view, proj, 64, 96, pp, caps)
+        outs.append(np.asarray(v.img))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
