@@ -152,17 +152,19 @@ def auto_capacity(target_primitives: int,
     )
 
 
-def bucket_size(x: int, margin: float = 1.3, step: float = 1.2,
+def bucket_size(x: int, margin: float = 1.25, step: float = 1.1,
                 align: int = 128) -> int:
     """Quantize a capacity to a geometric bucket grid.
 
     The TPU analogue of the reference's feedback over-allocation
     (compact.cu:535 x1.2, binning.cu:152 x1.5): observed size * margin,
     rounded UP to the bucket grid 128 * step^k so nearby sizes share one
-    compiled program.  step=1.2 bounds padding slack at margin*step
-    ~1.56x (was 1.95x at step=1.5) -- every binning scan/sort/gather
-    scales with CAPACITY, not true size, so slack is pure overhead; the
-    feedback running max keeps the bucket count small in practice.
+    compiled program.  Slack bound = margin*step ~1.38x (round 1 shipped
+    1.95x) -- every binning scan/sort/gather scales with CAPACITY, not
+    true size, so slack is pure overhead.  Slimmer margins are safe
+    because an overflowed step is a no-op that gets retried at a bigger
+    bucket (overflow-safe stepping), and the per-frame running max keeps
+    the compiled-variant count small.
     """
     import math
     need = max(int(x * margin), align)
@@ -172,7 +174,7 @@ def bucket_size(x: int, margin: float = 1.3, step: float = 1.2,
 
 def bucketed_capacity(primitive_capacity: int, observed_visible: int,
                       observed_rows: int, observed_entries: int,
-                      margin: float = 1.3) -> CapacityParams:
+                      margin: float = 1.25) -> CapacityParams:
     """Derive bucketed capacities from observed per-view maxima."""
     return CapacityParams(
         primitive_capacity=primitive_capacity,

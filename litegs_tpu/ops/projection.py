@@ -121,6 +121,43 @@ def cov2d_from_transform(jacobian, view_matrix, transform_matrix):
     return jnp.stack([a, b, c])
 
 
+def cov2d_fused(scale_act, rot_unit, jacobian, view_matrix):
+    """Fused (scale, quat, J, V) -> cov2d rows, no [3,3,N] materialization.
+
+    Numerically the composition create_transform_matrix +
+    cov2d_from_transform, but written as pure [N]-vector arithmetic: the
+    [3,3,N] intermediates tile as T(2,128)/T(1,128) on TPU and their
+    relayout copies cost ~30 ms/step at 1M points (profile_step.py
+    fusion.53 + copies); row-wise streams fuse into a handful of VPU
+    passes instead.  J's sparsity (rows (0,0),(1,1),(2,0),(2,1) only,
+    rayspace_jacobian) is exploited directly.
+    Returns (a, b, c) [3, N] with the +0.3 low-pass.
+    """
+    r, x, y, z = rot_unit[0], rot_unit[1], rot_unit[2], rot_unit[3]
+    s0, s1, s2 = scale_act[0], scale_act[1], scale_act[2]
+    # M rows (create_transform_matrix): m[i][j] = R[i,j] * s_i
+    m = [[(1 - 2 * (y * y + z * z)) * s0, 2 * (x * y + r * z) * s0,
+          2 * (x * z - r * y) * s0],
+         [2 * (x * y - r * z) * s1, (1 - 2 * (x * x + z * z)) * s1,
+          2 * (y * z + r * x) * s1],
+         [2 * (x * z + r * y) * s2, 2 * (y * z - r * x) * s2,
+          (1 - 2 * (x * x + y * y)) * s2]]
+    j00, j11 = jacobian[0, 0], jacobian[1, 1]
+    j20, j21 = jacobian[2, 0], jacobian[2, 1]
+    v3 = view_matrix[:3, :3]
+    # t[u][k] = sum_i J[i,u] * V3[k,i]  (only J rows 0/1 diag + row 2)
+    t = [[j00 * v3[k, 0] + j20 * v3[k, 2] for k in range(3)],
+         [j11 * v3[k, 1] + j21 * v3[k, 2] for k in range(3)]]
+    # m2[u][j] = sum_k t[u][k] * M[j][k]   (= T M^T; cov3d = M^T M)
+    m2 = [[t[u][0] * m[j][0] + t[u][1] * m[j][1] + t[u][2] * m[j][2]
+           for j in range(3)] for u in range(2)]
+    a = m2[0][0] ** 2 + m2[0][1] ** 2 + m2[0][2] ** 2 + 0.3
+    b = (m2[0][0] * m2[1][0] + m2[0][1] * m2[1][1]
+         + m2[0][2] * m2[1][2])
+    c = m2[1][0] ** 2 + m2[1][1] ** 2 + m2[1][2] ** 2 + 0.3
+    return jnp.stack([a, b, c])
+
+
 def inverse_2x2_sym(cov3):
     """Inverse of symmetric 2x2 given (a, b, c) channels; returns (a,b,c).
 

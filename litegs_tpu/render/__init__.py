@@ -120,9 +120,9 @@ def estimate_view_sizes(culled: CulledGaussians, view_matrix, proj_matrix,
     tile_h, tile_w = pp.tile_size
     xyz_h = projection.homogeneous(culled.xyz)
     view_pos, ndc = projection.mvp_transform(xyz_h, view_matrix, proj_matrix)
-    transform_m = projection.create_transform_matrix(culled.scale, culled.rot)
     jac = projection.rayspace_jacobian(view_pos, proj_matrix, img_h, img_w)
-    cov2d = projection.cov2d_from_transform(jac, view_matrix, transform_m)
+    cov2d = projection.cov2d_fused(culled.scale, culled.rot, jac,
+                                   view_matrix)
     inv_cov = projection.inverse_2x2_sym(cov2d)
     return binning_ops.estimate_table_sizes(
         ndc, view_pos[2], inv_cov, culled.opacity, culled.valid,
@@ -145,9 +145,9 @@ def render(culled: CulledGaussians, view_matrix, proj_matrix,
 
     xyz_h = projection.homogeneous(culled.xyz)
     view_pos, ndc = projection.mvp_transform(xyz_h, view_matrix, proj_matrix)
-    transform_m = projection.create_transform_matrix(culled.scale, culled.rot)
     jac = projection.rayspace_jacobian(view_pos, proj_matrix, img_h, img_w)
-    cov2d = projection.cov2d_from_transform(jac, view_matrix, transform_m)
+    cov2d = projection.cov2d_fused(culled.scale, culled.rot, jac,
+                                   view_matrix)
     inv_cov = projection.inverse_2x2_sym(cov2d)
     view_z = view_pos[2]
 

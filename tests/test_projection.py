@@ -143,3 +143,48 @@ def test_img_tiles_roundtrip():
     tiles = um.img_to_tiles(img, 8, 16)
     back = um.tiles_to_img(tiles, 37, 53, 8, 16)
     np.testing.assert_allclose(back, img, atol=1e-7)
+
+
+def test_cov2d_fused_matches_composition():
+    """cov2d_fused == cov2d_from_transform(create_transform_matrix(...)),
+    forward and gradients (it replaces the composition in the render
+    path to avoid [3,3,N] relayouts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from litegs_tpu.ops import projection
+
+    rng = np.random.RandomState(11)
+    n = 257
+    scale = jnp.asarray(rng.rand(3, n) * 0.5 + 0.1, jnp.float32)
+    rot = rng.randn(4, n).astype(np.float32)
+    rot = jnp.asarray(rot / np.linalg.norm(rot, axis=0, keepdims=True))
+    jac = np.zeros((3, 3, n), np.float32)
+    jac[0, 0] = rng.rand(n) * 200 + 100
+    jac[1, 1] = rng.rand(n) * 200 + 100
+    jac[2, 0] = rng.randn(n) * 20
+    jac[2, 1] = rng.randn(n) * 20
+    jac = jnp.asarray(jac)
+    view = np.eye(4, dtype=np.float32)
+    view[:3, :3] = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    view = jnp.asarray(view)
+    w = jnp.asarray(rng.randn(3, n), jnp.float32)
+
+    def composed(s, q):
+        m = projection.create_transform_matrix(s, q)
+        return projection.cov2d_from_transform(jac, view, m)
+
+    def fused(s, q):
+        return projection.cov2d_fused(s, q, jac, view)
+
+    ca = composed(scale, rot)
+    cb = fused(scale, rot)
+    np.testing.assert_allclose(np.asarray(ca), np.asarray(cb),
+                               rtol=2e-5, atol=2e-4)
+    ga = jax.grad(lambda s, q: jnp.sum(composed(s, q) * w),
+                  argnums=(0, 1))(scale, rot)
+    gb = jax.grad(lambda s, q: jnp.sum(fused(s, q) * w),
+                  argnums=(0, 1))(scale, rot)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-2)

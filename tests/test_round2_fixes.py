@@ -51,8 +51,8 @@ def test_bucket_slack_bound():
     rng = np.random.default_rng(0)
     for x in rng.integers(1_000, 10_000_000, 200):
         b = cfg.bucket_size(int(x))
-        assert b >= int(x * 1.3)
-        assert b <= int(x * 1.3 * 1.2) + 256, (x, b)
+        assert b >= int(x * 1.25)
+        assert b <= int(x * 1.25 * 1.1) + 256, (x, b)
         assert b % 128 == 0
 
 
