@@ -16,8 +16,10 @@ TPU-native redesign (no scatter, no atomics, static shapes):
      rank-decode gathers (cumsum + vectorized binary search) instead of
      scatter: entry -> (owner, rank) is closed-form, and rank -> tile is
      closed-form arithmetic, so emission is a pure gather;
-  4. one stable 32-bit key sort by tile id; per-tile ranges by binary
-     search.
+  4. per-tile ranges computed BEFORE the sort from the row spans (a +1/-1
+     difference array at row scale), which lets the kernels' 128-alignment
+     pads ride the one stable tile sort as extra keyed entries -- the
+     sorted output IS the aligned table.
 
 The exact intersection semantics match the reference: a tile is emitted iff
 the convex region {q <= t} with q the inv-covariance quadratic and
@@ -217,10 +219,9 @@ def estimate_table_sizes(ndc, view_z, inv_cov2d, opacity, valid_mask,
     rect_h = jnp.where(safe, (rmax_y - rmin_y).astype(jnp.float32), 0.0)
     n_vis = jnp.sum(visible, dtype=jnp.int32)
     n_rows = jnp.sum(rect_h, dtype=jnp.float32)
-    # + per-tile 128-alignment slack (build_tile_table pads every tile's
-    # segment to a block boundary)
-    n_entries = (jnp.sum(rect_w * rect_h, dtype=jnp.float32)
-                 + 127.0 * tiles_x * tiles_y)
+    # alignment pads live OUTSIDE entry_capacity (sorted in from a separate
+    # static region), so the estimate is the raw tile-rect area
+    n_entries = jnp.sum(rect_w * rect_h, dtype=jnp.float32)
     return jnp.stack([n_vis, n_rows.astype(jnp.int32),
                       n_entries.astype(jnp.int32)])
 
@@ -328,60 +329,77 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     ent_tile, ent_pt, ent_valid = jax.lax.optimization_barrier(
         (ent_tile, ent_pt, ent_valid))
 
-    # ---- stable sort by tile: (tile, depth) order ----
-    tile_key = jnp.where(ent_valid, ent_tile, tiles_total).astype(jnp.int32)
-    sorted_key, sorted_point = jax.lax.sort_key_val(tile_key, ent_pt,
-                                                    is_stable=True)
+    # ---- per-tile counts BEFORE the sort (binning.cu:228-265
+    # tile_range_kernel equivalent) ----
+    # Each row emits entries to the contiguous tile range [g0, g0+cnt)
+    # within one tile row, so per-tile totals are a +1/-1 difference array
+    # scattered at ROW scale plus one cumsum over the (tiny) tile axis --
+    # no E-scale searchsorted / scatter-count over the sorted table needed.
+    g0 = row_y * tiles_x + min_tile_x                       # [R]
+    has = row_tiles > 0                                     # valid rows only
+    one_r = has.astype(jnp.int32)
+    t1 = tiles_total + 1
+    inc = jax.ops.segment_sum(
+        one_r, jnp.where(has, g0, tiles_total), num_segments=t1)
+    dec = jax.ops.segment_sum(
+        one_r, jnp.where(has, g0 + row_tiles, tiles_total), num_segments=t1)
+    tile_count = jnp.cumsum(inc - dec)[:tiles_total]
 
-    # ---- per-tile ranges (binning.cu:228-265 tile_range_kernel) ----
-    # run boundaries of the SORTED key vector via searchsorted (T+1 binary
-    # searches) -- ~25 ms cheaper than a [E] scatter-count at bench scale
-    # (profile_step.py fusion.19)
-    bounds = jnp.searchsorted(
-        sorted_key, jnp.arange(tiles_total + 1, dtype=jnp.int32),
-        side="left").astype(jnp.int32)
-    tile_start = bounds[:-1]
-    tile_count = bounds[1:] - bounds[:-1]
-
-    # ---- 128-align each tile's segment ----
-    # The Pallas rasterizer DMAs gaussian blocks of 128 per tile; aligning
-    # every tile's segment to a 128 boundary makes those DMAs aligned and
-    # lets the backward kernel write whole gradient blocks without clobbering
-    # a neighboring tile's entries.  Pad slots carry entry_valid=False.
+    # ---- 128-alignment as SORT PARTICIPANTS ----
+    # The Pallas rasterizer DMAs gaussian blocks of 128 per tile.  Knowing
+    # the per-tile counts up front, the alignment pads are emitted as extra
+    # entries with the tile's key and sorted together with the real ones:
+    # the stable tile sort then produces the aligned table DIRECTLY (pads
+    # placed after the concat region sort behind every real same-tile
+    # entry), deleting the former post-sort expansion (a capacity-scale
+    # cummax + two capacity-scale gathers).
     blk = 128
     blocks = (tile_count + blk - 1) // blk
-    tile_table = jnp.stack([tile_start.astype(jnp.float32),
-                            tile_count.astype(jnp.float32)], axis=1)
-    owner_tile, rank, in_cap, total_aligned, tv = expand_with_table(
-        blocks * blk, entry_capacity, tile_table)
-    src = tv[:, 0].astype(jnp.int32) + rank
-    # AND with src < true entry count: on table overflow the clamped src
-    # would otherwise re-gather the last sorted point into every overflowed
-    # slot with entry_valid=True (plausible-looking corruption); flagged
-    # overflow + invalid slots keeps the render merely incomplete instead
-    in_seg = ((rank < tv[:, 1].astype(jnp.int32)) & in_cap
-              & (src < jnp.minimum(total_entries, entry_capacity)))
-    point_al = jnp.where(
-        in_seg, jnp.take(sorted_point, jnp.minimum(src, entry_capacity - 1)),
-        0)
-    tile_al = jnp.where(in_cap, owner_tile, tiles_total)
-    # Aligned per-tile starts for the kernels, clamped so block DMAs stay in
-    # bounds even when the table overflows (the overflow flag reports it).
-    aligned_start = jnp.cumsum(blocks * blk) - blocks * blk
-    aligned_start = jnp.minimum(aligned_start, entry_capacity)
-    tile_count = jnp.minimum(tile_count, entry_capacity - aligned_start)
+    aligned_cnt = blocks * blk
+    acum = jnp.cumsum(aligned_cnt)
+    total_aligned = acum[-1]
+    aligned_start = acum - aligned_cnt
+    pad_cap = ((tiles_total * (blk - 1) + blk - 1) // blk) * blk
+    pad_owner, _, pad_valid, _ = expand_by_counts(
+        aligned_cnt - tile_count, pad_cap)
+    pad_key = jnp.where(pad_valid, pad_owner, tiles_total)
+
+    # ---- stable sort by tile: (tile, depth) order, pads trailing ----
+    tile_key = jnp.where(ent_valid, ent_tile, tiles_total).astype(jnp.int32)
+    keys = jnp.concatenate([tile_key, pad_key.astype(jnp.int32)])
+    pts = jnp.concatenate([ent_pt, jnp.zeros((pad_cap,), jnp.int32)])
+    real = jnp.concatenate([ent_valid.astype(jnp.int32),
+                            jnp.zeros((pad_cap,), jnp.int32)])
+    sorted_key, sorted_point, sorted_real = jax.lax.sort(
+        (keys, pts, real), num_keys=1, is_stable=True)
+
+    overflow = ((total_rows > row_capacity)
+                | (total_entries > entry_capacity))
+    # On overflow the truncated entry set no longer matches the pre-sort
+    # counts (segments would misalign and blocks could mix tiles), so the
+    # whole table is invalidated: the step renders empty, the flag reports
+    # it, and the trainer re-runs the view with bigger buckets -- never a
+    # plausible-looking corrupt render (never-truncate discipline,
+    # binning.cu:137-169 / compact.cu:527-551).
+    valid_al = (sorted_real == 1) & jnp.logical_not(overflow)
+
+    # clamped so block DMAs stay in bounds even when the table overflows;
+    # counts are zeroed wholesale on overflow -- they describe the
+    # truncated-away table, and a count > 0 for a tile whose blocks were
+    # lost would unmask that tile's uninitialized kernel output row
+    length = entry_capacity + pad_cap
+    aligned_start = jnp.minimum(aligned_start, length)
+    tile_count = jnp.where(overflow, 0,
+                           jnp.minimum(tile_count, length - aligned_start))
 
     # per-point visibility = touches >= 1 tile (get_allocate_size != 0)
     ent_counts = jax.ops.segment_sum(
         jnp.where(row_valid, row_tiles, 0), row_pt, num_segments=m)
     primitive_visible = ent_counts > 0
 
-    overflow = ((total_rows > row_capacity)
-                | (total_entries > entry_capacity)
-                | (total_aligned > entry_capacity))
-    return BinningResult(sorted_point=point_al.astype(jnp.int32),
-                         sorted_tile=tile_al.astype(jnp.int32),
-                         entry_valid=in_seg,
+    return BinningResult(sorted_point=sorted_point.astype(jnp.int32),
+                         sorted_tile=sorted_key.astype(jnp.int32),
+                         entry_valid=valid_al,
                          tile_start=aligned_start,
                          tile_count=tile_count,
                          num_entries=total_entries,

@@ -187,7 +187,9 @@ def render(culled: CulledGaussians, view_matrix, proj_matrix,
         culled.num_visible_chunks.astype(jnp.int32) * jnp.int32(
             pp.cluster_size),
         table.num_rows.astype(jnp.int32),
-        jnp.maximum(table.num_entries, table.num_aligned).astype(jnp.int32)])
+        # alignment pads live outside entry_capacity since the pad-sort
+        # rewrite, so the bucket feedback tracks raw entries only
+        table.num_entries.astype(jnp.int32)])
     return RenderedView(img=img, transmitance=trans, depth=depth,
                         primitive_visible=table.primitive_visible,
                         overflow=table.overflow | culled.overflow,

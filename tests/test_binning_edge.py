@@ -96,9 +96,10 @@ def test_overflow_clamps_in_bounds():
     sp = np.asarray(t.sorted_point)
     ts = np.asarray(t.tile_start)
     tc = np.asarray(t.tile_count)
+    length = sp.shape[0]  # entry_capacity + the static pad region
     assert sp.min() >= 0 and sp.max() < n
-    assert np.all(ts >= 0) and np.all(ts <= 256)
-    assert np.all(ts + np.maximum(tc, 0) <= 256)
+    assert np.all(ts >= 0) and np.all(ts <= length)
+    assert np.all(ts + np.maximum(tc, 0) <= length)
     # rasterizing the overflowed table must still be safe
     mean = jnp.asarray((ndc * 0.5 + 0.5)
                        * [[IMG_W], [IMG_H]] - 0.5, jnp.float32)
