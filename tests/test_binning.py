@@ -155,6 +155,28 @@ def test_tile_ranges_consistent():
     assert not bool(table.overflow)
 
 
+def test_block_single_tile_invariant():
+    """Every 128-slot block of the sorted table belongs to ONE tile, with
+    real entries leading and alignment pads trailing -- the structural
+    contract the Pallas kernels' block grid relies on (pads now ride the
+    tile sort instead of a post-sort expansion)."""
+    _, table = build(n=120, seed=7)
+    st = np.asarray(table.sorted_tile)
+    ev = np.asarray(table.entry_valid)
+    length = st.shape[0]
+    assert length % 128 == 0
+    for b in range(length // 128):
+        bt = st[b * 128:(b + 1) * 128]
+        bv = ev[b * 128:(b + 1) * 128]
+        if bv.any():
+            assert (bt[bv] == bt[0]).all(), f"block {b} mixes tiles"
+            assert bv[0], f"block {b} does not start with a real entry"
+            # real entries form a prefix (pads never interleave)
+            first_pad = np.argmin(bv) if not bv.all() else 128
+            assert not bv[first_pad:].any()
+    assert (np.asarray(table.tile_start) % 128 == 0).all()
+
+
 def test_overflow_flag():
     rng = np.random.default_rng(6)
     mean, inv, color, op, z, ndc = random_screen_gaussians(
