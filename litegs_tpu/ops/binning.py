@@ -34,6 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import scan
+
 
 class BinningResult(NamedTuple):
     sorted_point: jax.Array    # [E_cap] int32 point index per table entry
@@ -64,7 +66,7 @@ def expand_by_counts(counts, capacity: int):
     # fence: keep upstream producer chains out of the cumsum/scatter (XLA
     # would otherwise re-evaluate them once per scan pass)
     counts = jax.lax.optimization_barrier(counts.astype(jnp.int32))
-    cum = jnp.cumsum(counts)
+    cum = scan.cumsum(counts)
     total = cum[-1]
     starts = cum - counts
     # scatter each non-empty item's index & start at its first slot; items
@@ -72,10 +74,10 @@ def expand_by_counts(counts, capacity: int):
     # indices are unique; empty items are routed out of bounds and dropped
     sidx = jnp.where(counts > 0, starts, capacity)
     item_ids = jnp.arange(m, dtype=jnp.int32)
-    owner = jax.lax.cummax(
+    owner = scan.cummax(
         jnp.zeros((capacity,), jnp.int32).at[sidx].max(
             item_ids, mode="drop", unique_indices=True))
-    start_of = jax.lax.cummax(
+    start_of = scan.cummax(
         jnp.zeros((capacity,), jnp.int32).at[sidx].max(
             starts, mode="drop", unique_indices=True))
     slots = jnp.arange(capacity, dtype=jnp.int32)
@@ -110,12 +112,12 @@ def expand_with_table(counts, capacity: int, table):
     m = counts.shape[0]
     assert capacity < (1 << 24), "start offsets must stay exact in f32"
     counts = jax.lax.optimization_barrier(counts.astype(jnp.int32))
-    cum = jnp.cumsum(counts)
+    cum = scan.cumsum(counts)
     total = cum[-1]
     starts = cum - counts
     sidx = jnp.where(counts > 0, starts, capacity)
     item_ids = jnp.arange(m, dtype=jnp.int32)
-    owner = jax.lax.cummax(
+    owner = scan.cummax(
         jnp.zeros((capacity,), jnp.int32).at[sidx].max(
             item_ids, mode="drop", unique_indices=True))
     # one row-gather fetches start + payloads for every slot

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DensifyParams
-from ..ops import projection
+from ..ops import projection, scan
 from ..scene.gaussians import GaussianParams
 from ..scene.morton import spatial_sort_indices
 from . import statistics
@@ -153,7 +153,7 @@ def split_and_clone(params: GaussianParams, adam: AdamState,
         want = (mean_grad >= dp.densify_grad_threshold) & active_mask
         budget = jnp.minimum(jnp.sum(want), n - active_count)
         budget = (budget // chunk_size) * chunk_size
-        rank_of = jnp.cumsum(want) - 1
+        rank_of = scan.cumsum(want.astype(jnp.int32)) - 1
         selected = want & (rank_of < budget)
     else:
         prune_num = jnp.sum(get_prune_mask(params, stats, active_mask, dp))
@@ -186,7 +186,7 @@ def split_and_clone(params: GaussianParams, adam: AdamState,
     new_params = params._replace(xyz=new_xyz, scale=new_scale)
 
     # scatter appends to the tail; fresh primitives get zero Adam moments
-    rank_sel = jnp.cumsum(selected) - 1
+    rank_sel = scan.cumsum(selected.astype(jnp.int32)) - 1
     dest = (active_count + rank_sel).astype(jnp.int32)
     params_out = _tree_scatter(params, dest, new_params, selected)
     zeros = jax.tree.map(jnp.zeros_like, params)
@@ -229,7 +229,7 @@ def prune(params: GaussianParams, adam: AdamState,
             "primitives -- aborting (reference densify.py:146-147)")
     # trim to chunk multiple: only the first del_limit pruned primitives
     # are removed (densify.py:148-154)
-    prune_rank = jnp.cumsum(prune_mask) - 1
+    prune_rank = scan.cumsum(prune_mask.astype(jnp.int32)) - 1
     del_limit = (jnp.sum(prune_mask) // chunk_size) * chunk_size
     prune_eff = prune_mask & (prune_rank < del_limit)
     # stable 3-way partition: kept-active < pruned < inactive

@@ -1,0 +1,32 @@
+"""Two-level scans must be bit-exact against the plain primitives."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from litegs_tpu.ops import scan
+
+
+def test_cumsum_matches_plain():
+    rng = np.random.default_rng(0)
+    for n in (7, 511, 512, 2048, 4096 + 1, 100_000 + 37):
+        x = jnp.asarray(rng.integers(0, 5, n), jnp.int32)
+        got = np.asarray(jax.jit(scan.cumsum)(x))
+        want = np.cumsum(np.asarray(x))
+        assert (got == want).all(), n
+
+
+def test_cummax_matches_plain():
+    rng = np.random.default_rng(1)
+    for n in (7, 512, 4096 + 3, 100_000 + 37):
+        # include negatives: the carry neutral must be the dtype min
+        x = jnp.asarray(rng.integers(-1000, 1000, n), jnp.int32)
+        got = np.asarray(jax.jit(scan.cummax)(x))
+        want = np.maximum.accumulate(np.asarray(x))
+        assert (got == want).all(), n
+
+
+def test_cummax_first_chunk_neutral():
+    # a strictly negative array exercises the first-chunk carry neutral
+    x = jnp.full((4096,), -7, jnp.int32)
+    got = np.asarray(jax.jit(scan.cummax)(x))
+    assert (got == -7).all()
