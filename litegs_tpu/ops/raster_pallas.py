@@ -197,8 +197,8 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
 # points happens outside).
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
-                *, tile_h, tile_w):
+def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
+                dt_vmem, dma_sem, *, tile_h, tile_w):
     b = pl.program_id(0)
     tile = bt_ref[b]
     prev = bt_ref[jnp.maximum(b - 1, 0)]
@@ -207,8 +207,18 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
 
     @pl.when(is_first)
     def _():
+        # Fetch THIS tile's cotangent row HBM -> VMEM once per tile (~20
+        # consecutive blocks share it at 32x32 tiles).  The XLA-side
+        # alternative -- pre-expanding to per-block [nb, 8, P] with a
+        # row-gather -- materializes ~780 MB per step at bench scale; a
+        # prefetch-dependent *input* index map is no better (10-80 us per
+        # grid step, defeats pipelining).  An explicit DMA on tile change
+        # moves exactly |T| * 32 KB total.
+        dma = pltpu.make_async_copy(dtiles_hbm.at[tile], dt_vmem, dma_sem)
+        dma.start()
         carry[0:1, :] = jnp.ones((1, tile_h * tile_w), jnp.float32)
         carry[1:2, :] = jnp.zeros((1, tile_h * tile_w), jnp.float32)
+        dma.wait()
 
     grad_ref[:, :] = jnp.zeros((GRAD_ROWS, G_BLK), jnp.float32)
 
@@ -220,8 +230,8 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtile_ref, grad_ref, carry,
     @pl.when((count_left > 0) & (jnp.max(carry[0, :]) > T_MIN))
     def _():
         h_feat, _ = _pixel_features(tile_h, tile_w)
-        d_col = dtile_ref[0, 0:4, :]                 # [4, P] upstream dC
-        d0 = dtile_ref[0, 5:6, :]                    # [1, P] dC.C_tot+T dT
+        d_col = dt_vmem[0:4, :]                      # [4, P] upstream dC
+        d0 = dt_vmem[5:6, :]                         # [1, P] dC.C_tot+T dT
         t_plain = carry[0:1, :]
         prefix = carry[1:2, :]
 
@@ -412,24 +422,26 @@ def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
             (row T is a zero pad the padding blocks read).
     """
     nb = block_tile.shape[0]
-    # Pre-expand the per-tile cotangent rows to per-block so the kernel's
-    # input index map is REGULAR (b) -- scalar-prefetch-dependent fetch
-    # maps defeat Pallas's pipelining and cost ~10-30us per index change
-    # on current hardware; a 12.5k-row XLA row-gather is far cheaper.
-    dtiles_blk = jnp.take(dtiles, block_tile, axis=0)     # [nb, 8, 128]
+    # The per-tile cotangent rows stay in HBM; the kernel DMAs one row to
+    # VMEM scratch on each tile change (see _bwd_kernel).  A regular
+    # blocked input would need per-BLOCK pre-expansion (~780 MB/step); a
+    # scalar-prefetch-dependent input index map costs 10-80 us per grid
+    # step.  The explicit DMA moves |T| rows total.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((PAR_ROWS, G_BLK), lambda b, bt, bc: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, tile_h * tile_w),
-                         lambda b, bt, bc: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # [T+1, 8, P] in HBM
         ],
         out_specs=pl.BlockSpec((GRAD_ROWS, G_BLK), lambda b, bt, bc: (0, b),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, tile_h * tile_w), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h * tile_w), jnp.float32),
+            pltpu.VMEM((OUT_ROWS, tile_h * tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w)
     return pl.pallas_call(
@@ -438,4 +450,4 @@ def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
         out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, nb * G_BLK),
                                        jnp.float32),
         interpret=interpret,
-    )(block_tile, block_cnt, params, dtiles_blk)
+    )(block_tile, block_cnt, params, dtiles)
