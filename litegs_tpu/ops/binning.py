@@ -47,6 +47,7 @@ class BinningResult(NamedTuple):
     num_aligned: jax.Array     # scalar int32 entries + per-tile 128-pad
     num_rows: jax.Array        # scalar int32 (true (point,tile-row) pairs)
     primitive_visible: jax.Array  # [M] bool: point touches >= 1 tile
+    point_counts: jax.Array    # [M] int32 table entries per point
     overflow: jax.Array        # scalar bool: any capacity exceeded
 
 
@@ -394,7 +395,8 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     tile_count = jnp.where(overflow, 0,
                            jnp.minimum(tile_count, length - aligned_start))
 
-    # per-point visibility = touches >= 1 tile (get_allocate_size != 0)
+    # per-point visibility = touches >= 1 tile (get_allocate_size != 0);
+    # the counts themselves are the backward reduce's segment boundaries
     ent_counts = jax.ops.segment_sum(
         jnp.where(row_valid, row_tiles, 0), row_pt, num_segments=m)
     primitive_visible = ent_counts > 0
@@ -408,4 +410,5 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
                          num_aligned=total_aligned,
                          num_rows=total_rows,
                          primitive_visible=primitive_visible,
+                         point_counts=ent_counts.astype(jnp.int32),
                          overflow=overflow)

@@ -3,9 +3,11 @@ kernels and the pure-jnp reference path.
 
 The Pallas backend wires the hand-written backward kernel in via
 ``jax.custom_vjp``; per-entry gradients are reduced to per-point gradients
-with ONE multi-column ``segment_sum`` (the TPU replacement for the
-reference's atomicAdd accumulation into PackedGrad, raster.cu:794-849;
-a single [E, 10] reduction measures ~2x faster than ten 1-D ones).
+by :func:`reduce_entries_to_points` -- one id-sort, ONE [E, K] row-gather
+into point-sorted order, and a chunked-cumsum boundary difference (the
+TPU replacement for the reference's atomicAdd accumulation into
+PackedGrad, raster.cu:794-849; measured 1.5x faster than K independent
+1-D segment_sums, scripts/microbench_reduce2.py).
 
 Statistics (per-point fragment weight/count and opacity-gradient moments
 feeding densification, reference raster.cu:289-301,779-820 +
@@ -23,7 +25,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from . import raster_jnp, raster_pallas
+from . import raster_jnp, raster_pallas, scan
 from .binning import BinningResult
 
 
@@ -49,8 +51,33 @@ class RasterCache(NamedTuple):
     block_cnt: jax.Array
 
 
-def _segment(data, ids, m):
-    return jax.ops.segment_sum(data, ids, num_segments=m)
+def reduce_entries_to_points(rows, table: BinningResult, m: int):
+    """Per-entry values [K, E] -> per-point sums [K, M].
+
+    The TPU replacement for the reference's atomicAdd gradient
+    accumulation (raster.cu:794-849).  K independent 1-D segment_sums
+    lower to one id-sort plus K random per-column permute+reduce fusions
+    (~20 ms each at bench scale); doing the permute ONCE as a [E, K]
+    row-gather and reducing the then-contiguous per-point runs with a
+    chunked-cumsum boundary difference measures 1.5x faster end to end
+    (118 ms vs 181 ms at E=2.9M, K=10 -- scripts/microbench_reduce2.py).
+
+    Rows at invalid table slots MUST already be zeroed (their ids sort to
+    the trailing segment m and the boundary arithmetic then never reads
+    them; on overflow entry_valid is all-False, everything is zero, and
+    the result is exactly zero -- the trainer discards the step anyway).
+    """
+    k, e = rows.shape
+    ids = jnp.where(table.entry_valid, table.sorted_point, m)
+    _, perm = jax.lax.sort_key_val(ids, jnp.arange(e, dtype=jnp.int32))
+    rs = jnp.take(rows.T, perm, axis=0)              # ONE [E, K] row-gather
+    cum = scan.cumsum2d(rs)                          # [E, K]
+    cum = jnp.concatenate([jnp.zeros((1, k), cum.dtype), cum], axis=0)
+    counts = table.point_counts                      # [M]
+    ends = jnp.minimum(scan.cumsum(counts), e)
+    hi = jnp.take(cum, ends, axis=0)                 # [M, K]
+    lo = jnp.take(cum, jnp.maximum(ends - counts, 0), axis=0)
+    return (hi - lo).T
 
 
 def build_cache(mean_pix, inv_cov, color4, opacity, table: BinningResult,
@@ -124,19 +151,12 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
         params = cache.packed.params
         conv = raster_pallas.moments_to_grads(
             g16, cache.packed.mu_local, params[12:15, :e], params[15, :e])
-        ids = table.sorted_point
-        # per-column 1-D reductions: the multi-column scatter-add lowers
-        # ~14x slower PER ELEMENT than 1-D (measured 494 ms for [4.8M,10]
-        # vs 35 ms per column; scripts/microbench_reduce.py), and each
-        # column costs ~21 ms at bench scale -- skip the known-zero depth
-        # column when the render has no depth channel
         rows = jnp.concatenate(
             [conv["d_color"], conv["d_invcov"], conv["d_mean"],
              conv["d_opacity"][None]], axis=0)               # [10, E]
-        live = [0, 1, 2, 4, 5, 6, 7, 8, 9] if nchan == 3 else range(10)
-        red_rows = {i: _segment(rows[i], ids, m) for i in live}
-        zero = jnp.zeros((m,), rows.dtype)
-        red = jnp.stack([red_rows.get(i, zero) for i in range(10)])
+        red = reduce_entries_to_points(rows, table, m)
+        if nchan == 3:  # the depth column is a known-zero pad
+            red = red.at[3].set(0.0)
         return red[7:9], red[4:7], red[0:4], red[9]
 
     _raster.defvjp(_raster_fwd, _raster_bwd)
@@ -199,13 +219,12 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
     g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
     params = cache.packed.params
     op_e = jnp.maximum(params[15, :e], 1e-12)
-    ids = table.sorted_point
     conv = raster_pallas.moments_to_grads(
         g16, cache.packed.mu_local, params[12:15, :e], op_e)
-    # six 1-D reductions (see the 1-D vs multi-column scatter note above)
-    rows = [g16[11], g16[12], g16[10] / op_e, g16[13] / (op_e * op_e),
-            conv["d_mean"][0], conv["d_mean"][1]]
-    red = jnp.stack([_segment(r, ids, m) for r in rows])    # [6, M]
+    rows = jnp.stack(
+        [g16[11], g16[12], g16[10] / op_e, g16[13] / (op_e * op_e),
+         conv["d_mean"][0], conv["d_mean"][1]])
+    red = reduce_entries_to_points(rows, table, m)          # [6, M]
     # positional gradient in NDC units (ndc_to_pixel: px = (x*.5+.5)*W)
     sx = 0.5 * (img_w if img_w else tiles_x * tile_w)
     sy = 0.5 * (img_h if img_h else (tiles_total // tiles_x) * tile_h)

@@ -43,6 +43,28 @@ def cumsum(x):
     return (inner + carry[:, None]).reshape(-1)[:n]
 
 
+def cumsum2d(x):
+    """Inclusive cumsum along axis 0 of a 2-D array (two-level).
+
+    Used by the backward gradient reduction (ops/raster.py), where the
+    columns are per-entry gradient channels in point-sorted order and the
+    per-point sums are boundary differences of this cumsum.  For floats
+    the chunked regrouping changes summation ORDER (not semantics) --
+    fine for gradient accumulation, which the reference itself computes
+    with unordered atomics (raster.cu:794-849).
+    """
+    n, k = x.shape
+    if n < _MIN_N:
+        return jnp.cumsum(x, axis=0)
+    c = -(-n // _CHUNK)
+    pad = c * _CHUNK - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xc = xp.reshape(c, _CHUNK, k)
+    inner = jnp.cumsum(xc, axis=1)
+    carry = jnp.cumsum(inner[:, -1, :], axis=0) - inner[:, -1, :]
+    return (inner + carry[:, None, :]).reshape(-1, k)[:n]
+
+
 def cummax(x):
     """Inclusive cummax over a 1-D integer array (two-level)."""
     if x.ndim != 1 or x.shape[0] < _MIN_N:

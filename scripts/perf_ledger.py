@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def readback(x):
     """Force device sync via a 4-BYTE transfer (slicing on device first).

@@ -112,23 +112,40 @@ def main():
 
     xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     print("xplane files:", xplanes, file=sys.stderr)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # Parse the xplane proto directly: the tensorboard_plugin_profile
+    # converter is unusable in this env (protobuf C-extension descriptor
+    # mismatch), but the raw XSpace proto ships inside tensorflow and the
+    # per-op durations live on the device plane's "XLA Ops" line.
+    import collections
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "hlo_stats", {})
-    obj = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # hlo_stats: list-of-rows table; columns include program, hlo op name,
-    # category, self time.  Schema varies by version -- dump top rows by
-    # any numeric "time" column we find.
-    try:
-        rows = obj if isinstance(obj, list) else obj.get("data", obj)
-        print(json.dumps(rows[:3], default=str)[:2000], file=sys.stderr)
-    except Exception:
-        pass
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(xplanes[0], "rb").read())
+    plane = [p for p in xs.planes if "TPU" in p.name or "GPU" in p.name
+             or "device" in p.name.lower()][0]
+    agg, num = collections.Counter(), collections.Counter()
+    total = 0.0
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            name = plane.event_metadata[ev.metadata_id].name
+            ms = ev.duration_ps / 1e9
+            agg[name] += ms
+            num[name] += 1
+            total += ms
+    print(f"total XLA-op time {total / n_steps:.1f} ms/step "
+          f"({n_steps} steps)")
+    rows = [{"ms_per_step": round(ms / n_steps, 2),
+             "calls_per_step": num[name] // n_steps,
+             "op": name[:160]}
+            for name, ms in agg.most_common(60)]
+    for r in rows[:30]:
+        print(json.dumps(r))
     out_path = "/tmp/hlo_stats.json"
     with open(out_path, "w") as f:
-        f.write(data if isinstance(data, str) else json.dumps(
-            obj, default=str))
+        json.dump({"ms_per_step_total": total / n_steps, "ops": rows}, f,
+                  indent=1)
     print("wrote", out_path)
 
 

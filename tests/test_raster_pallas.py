@@ -112,3 +112,24 @@ def test_stats():
     gscale = want.max() + 1e-6
     np.testing.assert_allclose(np.asarray(stats.grad_norm) / gscale,
                                want / gscale, atol=2e-3)
+
+
+def test_reduce_entries_to_points_vs_segment_sum():
+    """The sort+rowgather+cumdiff reduce must equal per-column
+    segment_sum over valid entries (the reference's atomicAdd sum,
+    raster.cu:794-849), including pad slots and empty points."""
+    args, table = build_scene(n=90, seed=3)
+    m = args[0].shape[-1]
+    e = table.sorted_point.shape[0]
+    rng = np.random.default_rng(7)
+    rows = jnp.asarray(rng.standard_normal((5, e)), jnp.float32)
+    rows = jnp.where(table.entry_valid[None], rows, 0.0)
+    got = np.asarray(raster.reduce_entries_to_points(rows, table, m))
+    ids = np.where(np.asarray(table.entry_valid),
+                   np.asarray(table.sorted_point), m)
+    want = np.zeros((5, m + 1), np.float64)
+    np.add.at(want.T, ids, np.asarray(rows, np.float64).T)
+    np.testing.assert_allclose(got, want[:, :m], atol=1e-4)
+    # points with no entries must come out exactly zero
+    untouched = np.setdiff1d(np.arange(m), ids)
+    assert np.all(got[:, untouched] == 0.0)
