@@ -75,11 +75,14 @@ def expand_by_counts(counts, capacity: int):
     # indices are unique; empty items are routed out of bounds and dropped
     sidx = jnp.where(counts > 0, starts, capacity)
     item_ids = jnp.arange(m, dtype=jnp.int32)
+    # .set, not .max: indices are unique and values non-negative over a
+    # zero base, so the result is identical and the scatter ~25% cheaper
+    # (scripts/microbench_reduce2.py scatter_perm_set vs _max)
     owner = scan.cummax(
-        jnp.zeros((capacity,), jnp.int32).at[sidx].max(
+        jnp.zeros((capacity,), jnp.int32).at[sidx].set(
             item_ids, mode="drop", unique_indices=True))
     start_of = scan.cummax(
-        jnp.zeros((capacity,), jnp.int32).at[sidx].max(
+        jnp.zeros((capacity,), jnp.int32).at[sidx].set(
             starts, mode="drop", unique_indices=True))
     slots = jnp.arange(capacity, dtype=jnp.int32)
     rank = slots - start_of
@@ -119,7 +122,7 @@ def expand_with_table(counts, capacity: int, table):
     sidx = jnp.where(counts > 0, starts, capacity)
     item_ids = jnp.arange(m, dtype=jnp.int32)
     owner = scan.cummax(
-        jnp.zeros((capacity,), jnp.int32).at[sidx].max(
+        jnp.zeros((capacity,), jnp.int32).at[sidx].set(
             item_ids, mode="drop", unique_indices=True))
     # one row-gather fetches start + payloads for every slot
     full = jnp.concatenate(
@@ -342,11 +345,14 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     has = row_tiles > 0                                     # valid rows only
     one_r = has.astype(jnp.int32)
     t1 = tiles_total + 1
-    inc = jax.ops.segment_sum(
-        one_r, jnp.where(has, g0, tiles_total), num_segments=t1)
-    dec = jax.ops.segment_sum(
-        one_r, jnp.where(has, g0 + row_tiles, tiles_total), num_segments=t1)
-    tile_count = jnp.cumsum(inc - dec)[:tiles_total]
+    # one scatter for both the +1 (span start) and -1 (span end) edges --
+    # two separate segment_sums pay the per-index pass twice
+    diff = jax.ops.segment_sum(
+        jnp.concatenate([one_r, -one_r]),
+        jnp.concatenate([jnp.where(has, g0, tiles_total),
+                         jnp.where(has, g0 + row_tiles, tiles_total)]),
+        num_segments=t1)
+    tile_count = jnp.cumsum(diff)[:tiles_total]
 
     # ---- 128-alignment as SORT PARTICIPANTS ----
     # The Pallas rasterizer DMAs gaussian blocks of 128 per tile.  Knowing
