@@ -51,8 +51,8 @@ class RasterCache(NamedTuple):
     block_cnt: jax.Array
 
 
-def reduce_entries_to_points(rows, table: BinningResult, m: int):
-    """Per-entry values [K, E] -> per-point sums [K, M].
+def reduce_entries_to_points(cols, table: BinningResult, m: int):
+    """Per-entry value columns (list of [E]) -> per-point sums [K, M].
 
     The TPU replacement for the reference's atomicAdd gradient
     accumulation (raster.cu:794-849).  K independent 1-D segment_sums
@@ -61,22 +61,31 @@ def reduce_entries_to_points(rows, table: BinningResult, m: int):
     row-gather and reducing the then-contiguous per-point runs with a
     chunked-cumsum boundary difference measures 1.5x faster end to end
     (118 ms vs 181 ms at E=2.9M, K=10 -- scripts/microbench_reduce2.py).
+    Two layout rules keep it at that speed (HLO trace, PERF.md):
+    * the [E, K] interleave is materialized BEHIND a fence before the
+      gather -- fused with its transpose producer, the gather reads K
+      strided columns per index (40 ms vs 17 ms);
+    * point p's run start in id-sorted order IS ends[p-1] (ends is a
+      cumsum), so the low boundary is a shift of the high gather, not a
+      second M-scale gather (each costs ~30 ms).
 
-    Rows at invalid table slots MUST already be zeroed (their ids sort to
-    the trailing segment m and the boundary arithmetic then never reads
-    them; on overflow entry_valid is all-False, everything is zero, and
-    the result is exactly zero -- the trainer discards the step anyway).
+    Columns at invalid table slots MUST already be zeroed (their ids sort
+    to the trailing segment m and the boundary arithmetic then never
+    reads them; on overflow entry_valid is all-False, everything is zero,
+    and the result is exactly zero -- the trainer discards the step
+    anyway).
     """
-    k, e = rows.shape
+    k = len(cols)
+    e = cols[0].shape[0]
     ids = jnp.where(table.entry_valid, table.sorted_point, m)
     _, perm = jax.lax.sort_key_val(ids, jnp.arange(e, dtype=jnp.int32))
-    rs = jnp.take(rows.T, perm, axis=0)              # ONE [E, K] row-gather
+    rs_src = jax.lax.optimization_barrier(jnp.stack(cols, axis=1))
+    rs = jnp.take(rs_src, perm, axis=0)              # ONE [E, K] row-gather
     cum = scan.cumsum2d(rs)                          # [E, K]
     cum = jnp.concatenate([jnp.zeros((1, k), cum.dtype), cum], axis=0)
-    counts = table.point_counts                      # [M]
-    ends = jnp.minimum(scan.cumsum(counts), e)
+    ends = jnp.minimum(scan.cumsum(table.point_counts), e)
     hi = jnp.take(cum, ends, axis=0)                 # [M, K]
-    lo = jnp.take(cum, jnp.maximum(ends - counts, 0), axis=0)
+    lo = jnp.concatenate([jnp.zeros((1, k), hi.dtype), hi[:-1]], axis=0)
     return (hi - lo).T
 
 
@@ -151,10 +160,11 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
         params = cache.packed.params
         conv = raster_pallas.moments_to_grads(
             g16, cache.packed.mu_local, params[12:15, :e], params[15, :e])
-        rows = jnp.concatenate(
-            [conv["d_color"], conv["d_invcov"], conv["d_mean"],
-             conv["d_opacity"][None]], axis=0)               # [10, E]
-        red = reduce_entries_to_points(rows, table, m)
+        cols = ([conv["d_color"][c] for c in range(4)]
+                + [conv["d_invcov"][c] for c in range(3)]
+                + [conv["d_mean"][c] for c in range(2)]
+                + [conv["d_opacity"]])                       # 10 x [E]
+        red = reduce_entries_to_points(cols, table, m)
         if nchan == 3:  # the depth column is a known-zero pad
             red = red.at[3].set(0.0)
         return red[7:9], red[4:7], red[0:4], red[9]
@@ -221,10 +231,9 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
     op_e = jnp.maximum(params[15, :e], 1e-12)
     conv = raster_pallas.moments_to_grads(
         g16, cache.packed.mu_local, params[12:15, :e], op_e)
-    rows = jnp.stack(
-        [g16[11], g16[12], g16[10] / op_e, g16[13] / (op_e * op_e),
-         conv["d_mean"][0], conv["d_mean"][1]])
-    red = reduce_entries_to_points(rows, table, m)          # [6, M]
+    cols = [g16[11], g16[12], g16[10] / op_e, g16[13] / (op_e * op_e),
+            conv["d_mean"][0], conv["d_mean"][1]]
+    red = reduce_entries_to_points(cols, table, m)          # [6, M]
     # positional gradient in NDC units (ndc_to_pixel: px = (x*.5+.5)*W)
     sx = 0.5 * (img_w if img_w else tiles_x * tile_w)
     sy = 0.5 * (img_h if img_h else (tiles_total // tiles_x) * tile_h)

@@ -17,8 +17,8 @@ algebra on (gaussian-block x pixel) matrices that the MXU eats:
 * Opacity is folded into the exponent (alpha = exp(-0.5 Q + ln o)), so no
   per-gaussian broadcast across lanes is ever needed.
 * The sequential front-to-back transmittance recursion becomes a
-  *cumulative product along sublanes*, computed as a strictly-lower
-  triangular ones-matmul over log(1 - alpha) -- again MXU work.
+  *cumulative product along sublanes* of (1 - alpha), computed as a
+  log-step shift-multiply scan (_cumprod_excl_g) -- no transcendentals.
 * Color accumulation is C[4, G] @ W[G, 128] -- MXU.
 * The backward pass re-walks blocks in the same (forward) order using the
   saved per-pixel final color and transmittance: with
@@ -90,6 +90,23 @@ def _cumsum_g(x):
     return x
 
 
+def _cumprod_excl_g(x):
+    """EXCLUSIVE cumprod along the gaussian axis: log-step shifted
+    multiplies.  Replaces exp(cumsum(log1p(-alpha))) for the
+    transmittance recursion -- two [G, P] transcendentals per block
+    gone; the shifted-tree association order differs from a sequential
+    product only in f32 rounding (the CUDA reference multiplies
+    sequentially, raster.cu:262-282; the jnp oracle cross-checks within
+    tolerance)."""
+    n = x.shape[0]
+    x = jnp.pad(x, ((1, 0), (0, 0)), constant_values=1.0)[:n]  # shift in a 1
+    k = 1
+    while k < n:
+        x = x * jnp.pad(x, ((k, 0), (0, 0)), constant_values=1.0)[:n]
+        k *= 2
+    return x
+
+
 def _block_alpha(params_blk, h_feat, count_left):
     """alpha (clamped+thresholded) and raw exp for one gaussian block.
 
@@ -153,11 +170,11 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
         pb = params_ref[:, :]
         alpha, _, _ = _block_alpha(pb, h_feat, count_left)
 
-        logt = jnp.log1p(-alpha)                       # [G, P]
-        # exclusive prefix along depth: exact f32 shift-add scan (the MXU
-        # triangular-matmul alternative multiplies in bf16)
-        cum_excl = _cumsum_g(logt) - logt
-        t_excl = t_plain * jnp.exp(cum_excl)           # plain transmittance
+        # exclusive transmittance prefix along depth as a direct f32
+        # cumprod of (1 - alpha) -- shift-multiply scan, no [G, P]
+        # log1p/exp pair (_cumprod_excl_g)
+        one_m = 1.0 - alpha                            # [G, P]
+        t_excl = t_plain * _cumprod_excl_g(one_m)      # plain transmittance
         active = t_excl > T_MIN
         w = jnp.where(active, alpha * t_excl, 0.0)
 
@@ -169,11 +186,11 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
 
         # effective (frozen) transmittance bookkeeping: the first plain
         # value <= T_MIN freezes (raster.cu:260-282 semantics)
-        t_incl = t_excl * jnp.exp(logt)
+        t_incl = t_excl * one_m
         crossed = t_incl <= T_MIN
         first_below = jnp.max(jnp.where(crossed, t_incl, 0.0), axis=0,
                               keepdims=True)
-        t_end = t_plain * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
+        t_end = t_incl[G_BLK - 1:G_BLK, :]
         any_crossed = jnp.any(crossed, axis=0, keepdims=True)
         out_ref[0, 4:5, :] = jnp.where(
             t_eff > T_MIN,
@@ -238,9 +255,8 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         pb = params_ref[:, :]
         alpha, alpha_raw, thresh_ok = _block_alpha(pb, h_feat, count_left)
 
-        logt = jnp.log1p(-alpha)
-        cum_excl = _cumsum_g(logt) - logt            # exact f32 scan
-        t_excl = t_plain * jnp.exp(cum_excl)
+        one_m = 1.0 - alpha
+        t_excl = t_plain * _cumprod_excl_g(one_m)    # f32 shift-mul scan
         ok = thresh_ok & (t_excl > T_MIN)
         w = jnp.where(ok, alpha * t_excl, 0.0)
 
@@ -276,8 +292,7 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
             [d_color] + mom_rows + [dlnop, w_sum, cnt, err2,
              jnp.zeros((2, G_BLK), jnp.float32)], axis=0)
 
-        carry[0:1, :] = t_plain * jnp.exp(
-            jnp.sum(logt, axis=0, keepdims=True))
+        carry[0:1, :] = t_excl[G_BLK - 1:G_BLK, :] * one_m[G_BLK - 1:G_BLK, :]
         carry[1:2, :] = prefix + jnp.sum(u, axis=0, keepdims=True)
 
 

@@ -124,7 +124,8 @@ def test_reduce_entries_to_points_vs_segment_sum():
     rng = np.random.default_rng(7)
     rows = jnp.asarray(rng.standard_normal((5, e)), jnp.float32)
     rows = jnp.where(table.entry_valid[None], rows, 0.0)
-    got = np.asarray(raster.reduce_entries_to_points(rows, table, m))
+    got = np.asarray(raster.reduce_entries_to_points(
+        [rows[i] for i in range(5)], table, m))
     ids = np.where(np.asarray(table.entry_valid),
                    np.asarray(table.sorted_point), m)
     want = np.zeros((5, m + 1), np.float64)
