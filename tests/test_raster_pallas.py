@@ -134,3 +134,20 @@ def test_reduce_entries_to_points_vs_segment_sum():
     # points with no entries must come out exactly zero
     untouched = np.setdiff1d(np.arange(m), ids)
     assert np.all(got[:, untouched] == 0.0)
+
+
+def test_cumprod_excl_matches_sequential():
+    """The shift-multiply exclusive cumprod must match a sequential
+    product of (1 - alpha) to f32 roundoff (raster.cu:262-282 order)."""
+    from litegs_tpu.ops.raster_pallas import _cumprod_excl_g
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(1.0 - rng.uniform(0.0, 255.0 / 256.0, (128, 8)),
+                    jnp.float32)
+    got = np.asarray(jax.jit(_cumprod_excl_g)(x))
+    want = np.ones((128, 8))
+    want[1:] = np.cumprod(np.asarray(x, np.float64), axis=0)[:-1]
+    # only values above the blend early-out threshold are ever consumed
+    # (T <= 1/8192 freezes the pixel); below ~1e-30 f32 underflows
+    live = want > 1e-6
+    np.testing.assert_allclose(got[live], want[live], rtol=1e-5)
+    assert (got[0] == 1.0).all()
