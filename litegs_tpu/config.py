@@ -132,6 +132,15 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Depth-block size of the Pallas rasterizer grid: gaussians are processed
+# in blocks of this many sorted entries, and the binning pads every tile's
+# segment to a multiple of it.  Measured on-chip (bench.py, 1M points,
+# 32x32 tiles): 128 -> 2.86 it/s, 256 -> 2.61 it/s -- the doubled VMEM
+# footprint and coarser saturation early-out cost more than the halved
+# grid steps and scan amortization save.  Keep 128.
+RASTER_BLOCK = 128
+
+
 def auto_capacity(target_primitives: int,
                   visible_frac: float = 0.9,
                   rows_per_visible: float = 3.0,

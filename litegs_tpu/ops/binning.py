@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from . import scan
+from ..config import RASTER_BLOCK
 
 
 class BinningResult(NamedTuple):
@@ -362,13 +363,19 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     # placed after the concat region sort behind every real same-tile
     # entry), deleting the former post-sort expansion (a capacity-scale
     # cummax + two capacity-scale gathers).
-    blk = 128
+    blk = RASTER_BLOCK
     blocks = (tile_count + blk - 1) // blk
     aligned_cnt = blocks * blk
     acum = jnp.cumsum(aligned_cnt)
     total_aligned = acum[-1]
     aligned_start = acum - aligned_cnt
     pad_cap = ((tiles_total * (blk - 1) + blk - 1) // blk) * blk
+    # the kernels stride the sorted table in blocks of blk: grow the pad
+    # region so the TOTAL length is a blk multiple whatever the (128-
+    # aligned) entry_capacity is
+    rem = (entry_capacity + pad_cap) % blk
+    if rem:
+        pad_cap += blk - rem
     pad_owner, _, pad_valid, _ = expand_by_counts(
         aligned_cnt - tile_count, pad_cap)
     pad_key = jnp.where(pad_valid, pad_owner, tiles_total)

@@ -48,9 +48,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import RASTER_BLOCK
 from .raster_jnp import ALPHA_MAX, ALPHA_MIN, T_MIN
 
-G_BLK = 128          # gaussians per block (sublane-major)
+G_BLK = RASTER_BLOCK  # gaussians per block (sublane-major)
 N_PIX = 128          # default pixels/tile; kernels support any multiple
                      # of 128 (e.g. 256 for the reference's 16x16 tiles)
 PAR_ROWS = 16        # packed per-entry parameter rows
