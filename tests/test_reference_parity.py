@@ -603,3 +603,43 @@ class TestBlendParity:
             np.testing.assert_allclose(
                 np.asarray(g_j), g_t.grad.numpy(), atol=5e-2, rtol=2e-2,
                 err_msg=f"gradient mismatch: {name}")
+
+
+# ---------------------------------------------------------------------------
+# Morton codes (spatial resort)
+# ---------------------------------------------------------------------------
+
+class TestMortonCodes:
+    def test_codes_match_reference_at_10_bits(self):
+        """morton.morton_codes must be BIT-EXACT against the reference's
+        _gen_morton_code (point.py:27-75) at the same quantization depth.
+        (The shipped depth differs -- 10-bit int32 keys vs the reference's
+        21-bit int64, a documented TPU sort-width Delta -- but the
+        interleave and normalization must agree exactly.)"""
+        import pytest
+        if REF.get("point") is None:
+            pytest.skip("reference litegs.scene.point not importable")
+        from litegs_tpu.scene import morton
+        rng = np.random.default_rng(17)
+        xyz = (rng.standard_normal((3, 700)) *
+               np.array([[3.0], [0.5], [40.0]])).astype(np.float32)
+        ref_codes = np.asarray(
+            REF["point"]._gen_morton_code(t32(xyz), bits=10))
+        got = np.asarray(morton.morton_codes(jnp.asarray(xyz)))
+        assert (got.astype(np.int64) == ref_codes).all()
+
+    def test_sorted_order_groups_spatially(self):
+        """Morton order must place points of the same spatial cell in one
+        contiguous run (the property chunk coherence relies on,
+        point.py:86-154)."""
+        from litegs_tpu.scene import morton
+        rng = np.random.default_rng(3)
+        # 8 well-separated cluster centers, 32 points each
+        centers = rng.standard_normal((3, 8)) * 100.0
+        pts = (centers[:, np.repeat(np.arange(8), 32)]
+               + 0.01 * rng.standard_normal((3, 256))).astype(np.float32)
+        idx = np.asarray(morton.spatial_sort_indices(jnp.asarray(pts)))
+        cluster_of = np.repeat(np.arange(8), 32)[idx]
+        # each cluster occupies one contiguous block after the sort
+        changes = int((np.diff(cluster_of) != 0).sum())
+        assert changes == 7, cluster_of

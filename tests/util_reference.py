@@ -72,6 +72,13 @@ def load_reference():
     import litegs.utils as ref_utils
     from litegs.utils import spherical_harmonics as ref_sh
     from litegs.utils import wrapper as ref_wrapper
+    try:
+        # pure-torch Morton codes (point.py:27-75); the module also pulls
+        # the stubbed simple_knn, so guard the import
+        from litegs.scene import point as ref_point
+    except Exception:
+        ref_point = None
 
-    _loaded = {"wrapper": ref_wrapper, "utils": ref_utils, "sh": ref_sh}
+    _loaded = {"wrapper": ref_wrapper, "utils": ref_utils, "sh": ref_sh,
+               "point": ref_point}
     return _loaded
