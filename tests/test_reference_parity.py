@@ -643,3 +643,34 @@ class TestMortonCodes:
         # each cluster occupies one contiguous block after the sort
         changes = int((np.diff(cluster_of) != 0).sum())
         assert changes == 7, cluster_of
+
+
+# ---------------------------------------------------------------------------
+# lr scheduler (log-lerp xyz schedule)
+# ---------------------------------------------------------------------------
+
+class TestLrSchedule:
+    def test_xyz_log_lerp_matches_reference(self):
+        """training.optimizer.xyz_lr must match the reference Scheduler
+        (optimizer.py:46-71) with the spatial_lr_scale wiring of
+        get_optimizer (optimizer.py:79,91-93)."""
+        import pytest
+        if REF.get("opt") is None:
+            pytest.skip("reference litegs.training.optimizer not importable")
+        from litegs_tpu import config as cfg_mod
+        from litegs_tpu.training.optimizer import xyz_lr
+        op = cfg_mod.OptimizationParams()
+        sls = 3.7
+        # construct without torch._LRScheduler.__init__ (its inspect-based
+        # override check chokes on the stubbed binary modules); the
+        # schedule math lives entirely in the private __helper
+        sched = REF["opt"].Scheduler.__new__(REF["opt"].Scheduler)
+        sched.max_epochs = op.position_lr_max_steps
+        sched.lr_init = op.position_lr_init * sls
+        sched.lr_final = op.position_lr_final * sls
+        for step in (0, 1, 100, 5000, op.position_lr_max_steps,
+                     op.position_lr_max_steps + 999):
+            sched.last_epoch = step
+            want = sched._Scheduler__helper()
+            got = float(xyz_lr(op, sls, jnp.int32(step)))
+            np.testing.assert_allclose(got, want, rtol=1e-6), step

@@ -78,7 +78,12 @@ def load_reference():
         from litegs.scene import point as ref_point
     except Exception:
         ref_point = None
+    try:
+        # pure-torch log-lerp lr scheduler (optimizer.py:46-71)
+        from litegs.training import optimizer as ref_opt
+    except Exception:
+        ref_opt = None
 
     _loaded = {"wrapper": ref_wrapper, "utils": ref_utils, "sh": ref_sh,
-               "point": ref_point}
+               "point": ref_point, "opt": ref_opt}
     return _loaded
