@@ -27,6 +27,8 @@ def main(argv=None):
     parser.add_argument("--target", type=int, default=60000)
     parser.add_argument("--sh_degree", type=int, default=2)
     parser.add_argument("--backend", type=str, default=None)
+    parser.add_argument("--densify_mode", type=str, default="taming",
+                        choices=["taming", "official"])
     args = parser.parse_args(argv)
 
     import jax
@@ -54,7 +56,8 @@ def main(argv=None):
     dp = cfg.DensifyParams(densification_interval=4, densify_from=3,
                            densify_until=int(total_epochs * 0.7),
                            opacity_reset_interval=10 ** 9,
-                           target_primitives=args.target)
+                           target_primitives=args.target,
+                           densify_mode=args.densify_mode)
     caps = cfg.auto_capacity(max(args.target, args.points) + 1)
     trainer = Trainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps, data=data,
                       spatial_lr_scale=4.0, interpret=interp)
