@@ -116,8 +116,11 @@ def main():
                                        batch.planes[f], batch.center[f],
                                        batch.images[f], None, jnp.int32(f))
         ts = np.asarray(pm["sizes"]) * [1.0, 1.05, 1.05]
+        margin = float(os.environ.get("BENCH_MARGIN",
+                                      str(pp.capacity_margin)))
         frame_caps.append(cfg.bucketed_capacity(caps.primitive_capacity,
-                                                *map(int, ts)))
+                                                *map(int, ts),
+                                                margin=margin))
     print(f"[bench] per-frame caps entries="
           f"{[c.entry_capacity for c in frame_caps]}", file=sys.stderr)
     step_fns = {}

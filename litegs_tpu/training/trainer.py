@@ -285,7 +285,8 @@ class Trainer:
         if not self.pp.adaptive_capacity or self.size_feedback is None:
             return self.caps
         vis, rows, ents = (int(x) for x in self.size_feedback[frame])
-        margin = 1.25 * (1.5 if self.overflow_last_epoch else 1.0)
+        margin = self.pp.capacity_margin * (
+            1.5 if self.overflow_last_epoch else 1.0)
         return cfg.bucketed_capacity(self.caps.primitive_capacity,
                                      vis, rows, ents, margin)
 
