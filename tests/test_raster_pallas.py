@@ -151,3 +151,30 @@ def test_cumprod_excl_matches_sequential():
     live = want > 1e-6
     np.testing.assert_allclose(got[live], want[live], rtol=1e-5)
     assert (got[0] == 1.0).all()
+
+
+def test_fwd_bwd_parity_seed_sweep():
+    """Multi-seed property sweep of fwd + full VJP parity (varied density
+    and splat sizes) -- fixed-seed tests can miss rare block/carry paths."""
+    for seed, n, spx in ((21, 30, (0.5, 3.0)), (22, 250, (2.0, 12.0)),
+                         (23, 120, (8.0, 20.0))):
+        args, table = build_scene(n=n, seed=seed, caps=(16384, 16384),
+                                  scale_px=spx)
+        rng = np.random.default_rng(seed)
+        dcol = jnp.asarray(rng.standard_normal((TILES_TOTAL, 3, 128)),
+                           jnp.float32)
+        dtrans = jnp.asarray(rng.standard_normal((TILES_TOTAL, 128)),
+                             jnp.float32)
+        col_j, trans_j = _run("jnp", args, table)
+        col_p, trans_p = _run("pallas", args, table)
+        np.testing.assert_allclose(col_p, col_j, atol=1e-4,
+                                   err_msg=f"seed {seed}")
+        g_j = jax.grad(_loss_fn("jnp", table, dcol, dtrans),
+                       argnums=(0, 1, 2, 3))(*args)
+        g_p = jax.grad(_loss_fn("pallas", table, dcol, dtrans),
+                       argnums=(0, 1, 2, 3))(*args)
+        for name, a, b in zip(["mean", "invcov", "color", "op"], g_j, g_p):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-6
+            np.testing.assert_allclose(b / scale, a / scale, atol=3e-4,
+                                       err_msg=f"seed {seed} {name}")
