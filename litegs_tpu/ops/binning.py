@@ -136,6 +136,46 @@ def expand_with_table(counts, capacity: int, table):
     return owner, rank, valid, total, fetched[:, 1:]
 
 
+def signed_bincount(idx, sign, n_bins: int, chunk: int = 512):
+    """Exact ±1 histogram over a SMALL bin domain via chunked one-hot
+    matmuls on the MXU.
+
+    The XLA scatter form runs at the per-index floor (~36 ms at 3.9M
+    indices); one-hot compare + [1,chunk]x[chunk,bins] dot per chunk
+    measures 10 ms and is BIT-EXACT: {-1, 0, 1} are exact in bf16 and
+    count magnitudes < 2^24 accumulate exactly in f32
+    (scripts/microbench: onehot_matmul_scan vs segment_sum_pm1).  Only
+    worthwhile while the one-hot stays small -- callers gate on n_bins.
+
+    Args:
+      idx:  [N] int32 bin per element; out-of-range values must already
+            be routed to a dump bin < n_bins by the caller.
+      sign: [N] f32 in {-1, 0, 1}.
+      n_bins: static number of bins.
+    Returns [n_bins] int32 counts.
+    """
+    n = idx.shape[0]
+    pad_n = (-n) % chunk
+    dump = n_bins - 1
+    if pad_n:
+        idx = jnp.pad(idx, (0, pad_n), constant_values=dump)
+        sign = jnp.pad(sign, (0, pad_n))  # zero sign: no contribution
+    tp = ((n_bins + 127) // 128) * 128
+    ic = idx.reshape(-1, chunk)
+    sc = sign.reshape(-1, chunk).astype(jnp.bfloat16)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (chunk, tp), 1)
+
+    def body(acc, xs):
+        ii, ss = xs
+        onehot = (ii[:, None] == bins).astype(jnp.bfloat16)
+        return acc + jax.lax.dot(ss[None, :], onehot,
+                                 preferred_element_type=jnp.float32)[0], None
+
+    acc0 = jnp.zeros((tp,), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (ic, sc))
+    return out[:n_bins].astype(jnp.int32)
+
+
 def tile_counts_for_rows(px, py, a, b, c, t, disc, row, tile_h, tile_w,
                          rect_min_x, rect_max_x):
     """Exact x-tile span of the ellipse within one tile row (vectorized).
@@ -344,15 +384,17 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     # no E-scale searchsorted / scatter-count over the sorted table needed.
     g0 = row_y * tiles_x + min_tile_x                       # [R]
     has = row_tiles > 0                                     # valid rows only
-    one_r = has.astype(jnp.int32)
     t1 = tiles_total + 1
-    # one scatter for both the +1 (span start) and -1 (span end) edges --
-    # two separate segment_sums pay the per-index pass twice
-    diff = jax.ops.segment_sum(
-        jnp.concatenate([one_r, -one_r]),
-        jnp.concatenate([jnp.where(has, g0, tiles_total),
-                         jnp.where(has, g0 + row_tiles, tiles_total)]),
-        num_segments=t1)
+    edge_idx = jnp.concatenate([jnp.where(has, g0, tiles_total),
+                                jnp.where(has, g0 + row_tiles, tiles_total)])
+    edge_sign = jnp.concatenate([has.astype(jnp.float32),
+                                 -has.astype(jnp.float32)])
+    if t1 <= 4096:
+        # MXU one-hot histogram: 3.5x the scatter's speed, bit-exact
+        diff = signed_bincount(edge_idx, edge_sign, t1)
+    else:
+        diff = jax.ops.segment_sum(
+            edge_sign.astype(jnp.int32), edge_idx, num_segments=t1)
     tile_count = jnp.cumsum(diff)[:tiles_total]
 
     # ---- 128-alignment as SORT PARTICIPANTS ----

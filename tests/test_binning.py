@@ -185,3 +185,17 @@ def test_overflow_flag():
     table = binning.build_tile_table(ndc, z, inv, op, valid, IMG_H, IMG_W,
                                      TILE_H, TILE_W, 128, 128)
     assert bool(table.overflow)
+
+
+def test_signed_bincount_exact():
+    """The MXU one-hot histogram must be BIT-exact vs np.add.at for ±1
+    values, including the chunk padding path and the dump bin."""
+    rng = np.random.default_rng(9)
+    for n, bins in ((1000, 37), (4096, 1108), (5000, 130)):
+        idx = jnp.asarray(rng.integers(0, bins, n), jnp.int32)
+        sign = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], n), jnp.float32)
+        got = np.asarray(
+            binning.signed_bincount(idx, sign, bins))
+        want = np.zeros(bins, np.int64)
+        np.add.at(want, np.asarray(idx), np.asarray(sign).astype(np.int64))
+        assert (got == want).all(), (n, bins)
