@@ -240,6 +240,8 @@ class Trainer:
         # (the reference's per-camera FramesBuffer, data.py:236-245)
         self.size_feedback = None
         self.overflow_last_epoch = False
+        self._post_densify = False
+        self._last_sizes = {}
         self.pose_state = None
         # per-tile max blend count over the last statistics epoch (the
         # reference's tile-complexity telemetry; on TPU the raster grid is
@@ -285,8 +287,13 @@ class Trainer:
         if not self.pp.adaptive_capacity or self.size_feedback is None:
             return self.caps
         vis, rows, ents = (int(x) for x in self.size_feedback[frame])
+        # Steady-state margin is tight (capacity-scale work is pure
+        # overhead), but the first epoch after a densify step gets a
+        # cushion: new points cluster in dense regions, so per-view sizes
+        # can outgrow the active-count-scaled feedback prediction.
         margin = self.pp.capacity_margin * (
-            1.5 if self.overflow_last_epoch else 1.0)
+            1.5 if self.overflow_last_epoch else 1.0) * (
+            1.2 if self._post_densify else 1.0)
         return cfg.bucketed_capacity(self.caps.primitive_capacity,
                                      vis, rows, ents, margin)
 
@@ -353,11 +360,23 @@ class Trainer:
             # not in this epoch's id list have no observation yet)
             self.size_feedback = np.broadcast_to(
                 sizes.max(axis=0), (self.n_frames, 3)).copy()
-        # per-frame running max: a transiently small epoch must not shrink
-        # the bucket (shrinking thrashes compiles and invites overflow)
+        # Per-frame feedback = running max of TREND-EXTRAPOLATED sizes:
+        # early training grows per-view sizes 10-20%/epoch (splats expand
+        # from the knn init), so last-epoch maxima under-predict and a
+        # tight margin would overflow.  Extrapolating one epoch ahead at
+        # the observed per-frame growth rate (clamped to 1.5x, the
+        # reference's binning slack, binning.cu:152) absorbs the drift
+        # while staying tight once sizes plateau.  Never shrink: a
+        # transiently small epoch must not thrash compiles.
         for i, s in zip(frame_ids, sizes):
-            self.size_feedback[int(i)] = np.maximum(
-                self.size_feedback[int(i)], s)
+            i = int(i)
+            prev = self._last_sizes.get(i)
+            pred = s
+            if prev is not None:
+                g = np.clip(s / np.maximum(prev, 1), 1.0, 1.5)
+                pred = (s * g).astype(np.int64)
+            self._last_sizes[i] = s
+            self.size_feedback[i] = np.maximum(self.size_feedback[i], pred)
 
         # Overflowed frames had their update skipped (overflow-safe step);
         # retrain them with re-bucketed capacities so no iteration ever
@@ -367,6 +386,8 @@ class Trainer:
             state, stats, _ = self.run_epoch(state, stats, epoch,
                                              frame_ids=overflowed,
                                              _retry=_retry + 1)
+        if _retry == 0:
+            self._post_densify = False  # cushion lasts one epoch
         return state, stats, {
             "loss": float(np.mean([g["loss"] for g in got])),
             "psnr": float(np.mean([g["psnr"] for g in got]))}
@@ -391,6 +412,7 @@ class Trainer:
                 self.size_feedback = (
                     self.size_feedback.astype(np.float64) * growth
                 ).astype(np.int64)
+            self._post_densify = True
         state = TrainState(params=params, adam=adam, active_count=active,
                            step=state.step)
         # Morton resort runs at the START of epoch e when
