@@ -193,7 +193,13 @@ def split_and_clone(params: GaussianParams, adam: AdamState,
     adam_out = AdamState(
         exp_avg=_tree_scatter(adam.exp_avg, dest, zeros, selected),
         exp_avg_sq=_tree_scatter(adam.exp_avg_sq, dest, zeros, selected))
-    appended = jnp.minimum(jnp.sum(selected), budget)
+    # budget is chunk-trimmed, but fewer than `budget` primitives can carry
+    # a positive score -- floor again so active_count stays a chunk
+    # multiple (a partial chunk would be masked out of the AABB pass and
+    # silently never render); over-scattered entries past the floored
+    # count land in the inactive tail, which is harmless
+    appended = (jnp.minimum(jnp.sum(selected), budget)
+                // chunk_size) * chunk_size
     return params_out, adam_out, active_count + appended
 
 

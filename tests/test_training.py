@@ -179,3 +179,39 @@ def test_overflow_skips_update_and_retries():
     state, stats, m = trainer2.run_epoch(state, stats, epoch=0)
     assert int(state.step) == trainer2.n_frames, (
         int(state.step), trainer2.overflow_count)
+
+
+def test_densify_append_stays_chunk_aligned_when_scores_scarce():
+    """If fewer primitives carry a positive score than the chunk-trimmed
+    budget, the appended count must still floor to a chunk multiple --
+    a partial chunk would be masked out of the AABB pass and silently
+    never render."""
+    from litegs_tpu.scene.gaussians import create_gaussians, pad_params
+    from litegs_tpu.training import densify
+    from litegs_tpu.training.optimizer import init_adam
+    import jax
+
+    rng = np.random.default_rng(0)
+    n_active, cap, chunk = 256, 1024, 128
+    params = pad_params(create_gaussians(
+        rng.standard_normal((256, 3)).astype(np.float32),
+        rng.random((256, 3)).astype(np.float32), 1), cap)
+    adam = init_adam(params)
+    stats = statistics.init_stats(cap)
+    # only 3 primitives have nonzero err stats -> 3 positive scores,
+    # far below the budget the ramp asks for
+    err2 = np.zeros(cap, np.float32)
+    cnt = np.zeros(cap, np.float32)
+    err2[:3] = 5.0
+    cnt[:3] = 7.0
+    stats = stats._replace(
+        err_sq_sum=jnp.asarray(err2), frag_count=jnp.asarray(cnt))
+    dp = cfg.DensifyParams(target_primitives=1000, densify_from=0,
+                           densify_until=4, densification_interval=1)
+    p2, a2, active = densify.split_and_clone(
+        params, adam, stats, jnp.int32(n_active), epoch=1,
+        key=jax.random.PRNGKey(0), dp=dp, densify_until=4,
+        init_points_num=n_active, screen_extent=1.0, chunk_size=chunk)
+    active = int(active)
+    assert active % chunk == 0, active
+    assert active >= n_active
