@@ -50,7 +50,7 @@ def main():
                                              masked_chunk_aabb)
 
     sh_degree = 3
-    n_frames = 4
+    n_frames = int(os.environ.get("BENCH_FRAMES", 4))
     cam, frames = synthetic.make_cameras(n_frames, img_h, img_w, seed=0)
     xyz, rgb = synthetic.make_gaussian_cloud(n_points, seed=0)
     params = create_gaussians(xyz, rgb, sh_degree)
@@ -175,8 +175,28 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_iters):
         m = run(i)
+    t_enq = time.perf_counter() - t0
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
+
+    if os.environ.get("BENCH_PERFRAME"):
+        # diagnostic: steady-state ms/step per frame (each frame gets its
+        # own capacity bucket; this attributes the mix average)
+        for f in range(n_frames):
+            for _ in range(2):
+                run(f)  # warm the donated-buffer layout for this frame
+            jax.block_until_ready(state)
+            tf = time.perf_counter()
+            for _ in range(max(4, n_iters // n_frames)):
+                run(f)
+            jax.block_until_ready(state)
+            ms = (time.perf_counter() - tf) / max(4, n_iters // n_frames)
+            print(f"[bench] frame {f}: {ms * 1e3:.1f} ms/step "
+                  f"(entries cap {frame_caps[f].entry_capacity})",
+                  file=sys.stderr)
+        print(f"[bench] enqueue loop {t_enq * 1e3 / n_iters:.1f} ms/iter "
+              f"(drain {(elapsed - t_enq) * 1e3 / n_iters:.1f})",
+              file=sys.stderr)
 
     iters_per_sec = n_iters / elapsed
     result = {
