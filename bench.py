@@ -26,6 +26,16 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 189.0  # RTX 3090, garden @1M prims (BASELINE.md)
 
 
+def _readback(state):
+    """Force device sync via a 4-byte transfer (device-side slice first).
+
+    block_until_ready alone is not trustworthy through the axon tunnel
+    (CLAUDE.md timing rule; scripts/perf_ledger.py uses the same trick) --
+    a 1-element device-side slice syncs the stream without dragging the
+    whole buffer through the ~10-20 MB/s tunnel."""
+    return np.asarray(state.params.xyz.ravel()[0:1])[0]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -143,11 +153,11 @@ def main():
 
     # warmup / compile (every frame: per-frame buckets compile lazily)
     m = run(0)
-    jax.block_until_ready(state)
+    _readback(state)
     overflow = bool(m["overflow"])
     for i in range(1, n_frames + 1):
         m = run(i)
-    jax.block_until_ready(state)
+    _readback(state)
 
     mode = os.environ.get("BENCH_MODE", "train")
     if mode == "render":
@@ -157,14 +167,14 @@ def main():
         ev = make_eval_render(pp, caps, img_h, img_w, sh_degree, interp)
         img, _ = ev(state.params, state.active_count, batch.view[0],
                     batch.proj[0], batch.planes[0], batch.center[0])
-        _ = np.asarray(img).ravel()[0]
+        _ = np.asarray(img.ravel()[0:1])[0]  # 4-byte sync, not a 13 MB pull
         t0 = time.perf_counter()
         for i in range(n_iters):
             img, _ = ev(state.params, state.active_count,
                         batch.view[i % n_frames], batch.proj[i % n_frames],
                         batch.planes[i % n_frames],
                         batch.center[i % n_frames])
-        _ = np.asarray(img).ravel()[0]
+        _ = np.asarray(img.ravel()[0:1])[0]
         elapsed = time.perf_counter() - t0
         mpix = img_h * img_w * n_iters / elapsed / 1e6
         print(json.dumps({"metric": "render_mpix_per_sec",
@@ -176,7 +186,7 @@ def main():
     for i in range(n_iters):
         m = run(i)
     t_enq = time.perf_counter() - t0
-    jax.block_until_ready(state)
+    _readback(state)
     elapsed = time.perf_counter() - t0
 
     if os.environ.get("BENCH_PERFRAME"):
@@ -185,11 +195,11 @@ def main():
         for f in range(n_frames):
             for _ in range(2):
                 run(f)  # warm the donated-buffer layout for this frame
-            jax.block_until_ready(state)
+            _readback(state)
             tf = time.perf_counter()
             for _ in range(max(4, n_iters // n_frames)):
                 run(f)
-            jax.block_until_ready(state)
+            _readback(state)
             ms = (time.perf_counter() - tf) / max(4, n_iters // n_frames)
             print(f"[bench] frame {f}: {ms * 1e3:.1f} ms/step "
                   f"(entries cap {frame_caps[f].entry_capacity})",

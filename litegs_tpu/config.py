@@ -145,8 +145,12 @@ def round_up(x: int, m: int) -> int:
 # segment to a multiple of it.  Measured on-chip (bench.py, 1M points,
 # 32x32 tiles): 128 -> 2.86 it/s, 256 -> 2.61 it/s -- the doubled VMEM
 # footprint and coarser saturation early-out cost more than the halved
-# grid steps and scan amortization save.  Keep 128.
-RASTER_BLOCK = 128
+# grid steps and scan amortization save; 64 is structurally invalid (the
+# packed-params block's lane dim must be a multiple of 128).  Keep 128.
+# Env override is for experiments only.
+import os as _os
+
+RASTER_BLOCK = int(_os.environ.get("LITEGS_RASTER_BLOCK", "128"))
 
 
 def auto_capacity(target_primitives: int,

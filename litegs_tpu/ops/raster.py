@@ -92,14 +92,23 @@ def reduce_entries_to_points(cols, table: BinningResult, m: int):
                              axis=0)
         return hi - lo
 
-    # split wide column sets into two half-width pipelines: the gather /
-    # cumsum / boundary-gather working set then stays small enough to
-    # cache, measured 69 -> 48 ms end-to-end at E=2.7M K=10 (3-way splits
-    # are slower -- extra per-index passes; scripts/microbench_gather3.py).
-    # Column arithmetic is independent per column, so this is bit-exact.
-    if k > 5:
-        out = jnp.concatenate([group(cols[:(k + 1) // 2]),
-                               group(cols[(k + 1) // 2:])], axis=1)
+    # Group columns into the fewest pipelines of width <= 8: measured on
+    # chip at E=2.7M (scripts/microbench_r3.py), any single group of
+    # width 1..8 costs a flat ~21-23 ms (the per-index permute dominates;
+    # a [E, k<=8] row is one 32-byte-class access), while width 9+ jumps
+    # to ~68 ms -- so k=6..8 must NOT split (ADVICE r2: the old half-split
+    # rule cost 42 ms at k=6 vs 23.5 unsplit) and k=9..16 splits into two
+    # balanced groups (42-44 ms).  Column arithmetic is independent per
+    # column, so grouping is bit-exact.
+    ngroups = -(-k // 8)
+    if ngroups > 1:
+        base, rem = divmod(k, ngroups)
+        widths = [base + (i < rem) for i in range(ngroups)]
+        outs, at = [], 0
+        for w in widths:
+            outs.append(group(cols[at:at + w]))
+            at += w
+        out = jnp.concatenate(outs, axis=1)
     else:
         out = group(cols)
     return out.T
@@ -120,9 +129,19 @@ def build_cache(mean_pix, inv_cov, color4, opacity, table: BinningResult,
     return RasterCache(packed=packed, block_tile=bt, block_cnt=bc)
 
 
+def zero_stats_sink(m: int) -> RasterStats:
+    """A zero RasterStats pytree to use as the gradient-sink input of
+    :func:`rasterize` (see ``stats_sink`` there)."""
+    z = jnp.zeros((m,), jnp.float32)
+    return RasterStats(weight_sum=z, frag_count=z, err_sum=z,
+                       err_square_sum=z, grad_norm=z)
+
+
 def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
               tiles_total: int, tiles_x: int, tile_h: int, tile_w: int,
-              backend: str = "pallas", interpret: bool = False):
+              backend: str = "pallas", interpret: bool = False,
+              stats_sink: Optional[RasterStats] = None,
+              img_h: int = 0, img_w: int = 0):
     """Rasterize gaussians into tile-layout images (differentiable).
 
     Args:
@@ -131,6 +150,18 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
       color:    [C, M], C in {3, 4} (rgb [+ depth]) (differentiable).
       opacity:  [M] activated opacities (differentiable).
       table:    binning result (non-differentiable).
+      stats_sink: optional zero RasterStats pytree (``zero_stats_sink(M)``).
+        When given (pallas backend), the custom VJP emits the
+        densification statistics as the *cotangent of the sink*: the
+        caller differentiates the loss w.r.t. the sink and receives
+        RasterStats computed from the SAME backward-kernel run and the
+        SAME per-point reduce as the parameter gradients -- the TPU
+        equivalent of the reference accumulating stats inside the real
+        backward pass (raster.cu:289-301,779-820; wrapper.py:496-500)
+        without re-running the kernel the way a separate ``raster_stats``
+        pass must.
+      img_h/img_w: true image dims for the NDC grad_norm scale (stats
+        path only; defaults to the tile-grid extent).
     Returns:
       (tiles_color [T, C, P], tiles_trans [T, P], cache or None)
     """
@@ -142,20 +173,18 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
             tiles_total, tiles_x, tile_h, tile_w)
         return out.tiles_color, out.tiles_trans, None
 
+    has_depth = nchan == 4
+    want_stats = stats_sink is not None
     color4 = color if nchan == 4 else jnp.pad(color, ((0, 4 - nchan), (0, 0)))
     cache = build_cache(mean_pix, inv_cov, color4, opacity, table,
                         tiles_total, tiles_x, tile_h, tile_w,
-                        has_depth=nchan == 4)
+                        has_depth=has_depth)
 
-    @jax.custom_vjp
-    def _raster(mean_pix, inv_cov, color4, opacity):
-        out_tiles, _ = _raster_fwd(mean_pix, inv_cov, color4, opacity)
-        return out_tiles
-
-    def _raster_fwd(mean_pix, inv_cov, color4, opacity):
+    def _raster_fwd(mean_pix, inv_cov, color4, opacity, *sink):
         out_raw = raster_pallas.raster_forward_pallas(
             cache.packed.params, cache.block_tile, cache.block_cnt,
-            tiles_total, tile_h, tile_w, interpret=interpret)
+            tiles_total, tile_h, tile_w, interpret=interpret,
+            has_depth=has_depth)
         # rows of never-visited (empty) tiles are uninitialized: zero the
         # channels and set transmittance to 1 there
         empty = table.tile_count <= 0
@@ -166,33 +195,73 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
         return out_tiles, out_tiles
 
     def _raster_bwd(out_tiles, d_out):
+        """Shared VJP core: one backward-kernel run, ONE combined per-point
+        reduce covering the parameter gradients and (when requested) the
+        fragment statistics columns."""
         d_color_t = d_out[:, 0:4, :]
         d_trans_t = d_out[:, 4, :]
         grads16 = _backward_entry_grads(
             cache, out_tiles, d_color_t, d_trans_t,
-            tiles_total, tile_h, tile_w, interpret)
+            tiles_total, tile_h, tile_w, interpret,
+            has_depth=has_depth, with_stats=want_stats)
         e = table.sorted_point.shape[0]
         g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
         params = cache.packed.params
+        op_e = jnp.maximum(params[15, :e], 1e-12)
         conv = raster_pallas.moments_to_grads(
-            g16, cache.packed.mu_local, params[12:15, :e], params[15, :e])
-        cols = ([conv["d_color"][c] for c in range(4)]
+            g16, cache.packed.mu_local, params[12:15, :e], op_e)
+        nch = 4 if has_depth else 3  # drop the known-zero depth column
+        cols = ([conv["d_color"][c] for c in range(nch)]
                 + [conv["d_invcov"][c] for c in range(3)]
                 + [conv["d_mean"][c] for c in range(2)]
-                + [conv["d_opacity"]])                       # 10 x [E]
+                + [conv["d_opacity"]])                       # 9-10 x [E]
+        if want_stats:
+            cols += [g16[11], g16[12], g16[13] / (op_e * op_e)]
         red = reduce_entries_to_points(cols, table, m)
-        if nchan == 3:  # the depth column is a known-zero pad
-            red = red.at[3].set(0.0)
-        return red[7:9], red[4:7], red[0:4], red[9]
+        d_color4 = red[0:4] if has_depth else jnp.concatenate(
+            [red[0:3], jnp.zeros((1, m), red.dtype)], axis=0)
+        d_invcov = red[nch:nch + 3]
+        d_mean = red[nch + 3:nch + 5]
+        d_op = red[nch + 5]
+        if not want_stats:
+            return d_mean, d_invcov, d_color4, d_op
+        # stats columns: err_sum IS the reduced d_opacity (both are
+        # sum(dpw)/op per entry); grad_norm is the NDC-scaled norm of the
+        # reduced positional gradient -- identical to raster_stats
+        sx = 0.5 * (img_w if img_w else tiles_x * tile_w)
+        sy = 0.5 * (img_h if img_h else (tiles_total // tiles_x) * tile_h)
+        gn = jnp.sqrt((d_mean[0] * sx) ** 2 + (d_mean[1] * sy) ** 2)
+        stats = RasterStats(weight_sum=red[nch + 6],
+                            frag_count=red[nch + 7],
+                            err_sum=d_op,
+                            err_square_sum=red[nch + 8],
+                            grad_norm=gn)
+        return d_mean, d_invcov, d_color4, d_op, stats
 
-    _raster.defvjp(_raster_fwd, _raster_bwd)
-    out_tiles = _raster(mean_pix, inv_cov, color4, opacity)
+    if want_stats:
+        @jax.custom_vjp
+        def _raster(mean_pix, inv_cov, color4, opacity, sink):
+            return _raster_fwd(mean_pix, inv_cov, color4, opacity)[0]
+
+        def _fwd5(mp, ic, c4, op_, sink):
+            return _raster_fwd(mp, ic, c4, op_)
+
+        _raster.defvjp(_fwd5, _raster_bwd)
+        out_tiles = _raster(mean_pix, inv_cov, color4, opacity, stats_sink)
+    else:
+        @jax.custom_vjp
+        def _raster(mean_pix, inv_cov, color4, opacity):
+            return _raster_fwd(mean_pix, inv_cov, color4, opacity)[0]
+
+        _raster.defvjp(_raster_fwd, _raster_bwd)
+        out_tiles = _raster(mean_pix, inv_cov, color4, opacity)
     return out_tiles[:, 0:nchan, :], out_tiles[:, 4, :], cache
 
 
 def _backward_entry_grads(cache: RasterCache, out_tiles, d_color_t,
                           d_trans_t, tiles_total, tile_h, tile_w,
-                          interpret):
+                          interpret, has_depth: bool = True,
+                          with_stats: bool = True):
     """Assemble the backward kernel input tiles and run it."""
     acc = out_tiles[:, 0:4, :]
     t_fin = out_tiles[:, 4, :]
@@ -203,7 +272,8 @@ def _backward_entry_grads(cache: RasterCache, out_tiles, d_color_t,
     dtiles = jnp.pad(dtiles, ((0, 1), (0, 0), (0, 0)))  # padding-block row
     return raster_pallas.raster_backward_pallas(
         cache.packed.params, dtiles, cache.block_tile, cache.block_cnt,
-        tiles_total, tile_h, tile_w, interpret=interpret)
+        tiles_total, tile_h, tile_w, interpret=interpret,
+        has_depth=has_depth, with_stats=with_stats)
 
 
 def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
@@ -240,7 +310,8 @@ def raster_stats(mean_pix, inv_cov, color, opacity, table: BinningResult,
                             has_depth=nchan == 4)
     grads16 = _backward_entry_grads(
         cache, out_tiles, d4, d_tiles_trans,
-        tiles_total, tile_h, tile_w, interpret)
+        tiles_total, tile_h, tile_w, interpret,
+        has_depth=nchan == 4, with_stats=True)
     e = table.sorted_point.shape[0]
     g16 = jnp.where(table.entry_valid[None, :], grads16[:, :e], 0.0)
     params = cache.packed.params

@@ -145,7 +145,8 @@ def _block_alpha(params_blk, h_feat, count_left):
 #   5 = plain transmittance carry (zeroed after the tile's last block).
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
+def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
+                has_depth=True):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     tile = bt_ref[b]
@@ -179,11 +180,14 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
         active = t_excl > T_MIN
         w = jnp.where(active, alpha * t_excl, 0.0)
 
-        colors = pb[6:10, :]                           # [4, G] rgb + depth
+        # skip the depth channel's accumulate pass when it is a known-zero
+        # pad (nchan == 3): its output row stays at the is_first zeros
+        nch = 4 if has_depth else 3
+        colors = pb[6:6 + nch, :]                      # [nch, G] rgb[+depth]
         acc = jnp.concatenate(
             [jnp.sum(colors[c:c + 1, :].T * w, axis=0, keepdims=True)
-             for c in range(4)], axis=0)               # [4, P] VPU exact
-        out_ref[0, 0:4, :] += acc
+             for c in range(nch)], axis=0)             # [nch, P] VPU exact
+        out_ref[0, 0:nch, :] += acc
 
         # effective (frozen) transmittance bookkeeping: the first plain
         # value <= T_MIN freezes (raster.cu:260-282 semantics)
@@ -216,7 +220,8 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
-                dt_vmem, dma_sem, *, tile_h, tile_w):
+                dt_vmem, dma_sem, *, tile_h, tile_w, has_depth=True,
+                with_stats=True):
     b = pl.program_id(0)
     tile = bt_ref[b]
     prev = bt_ref[jnp.maximum(b - 1, 0)]
@@ -261,9 +266,12 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         ok = thresh_ok & (t_excl > T_MIN)
         w = jnp.where(ok, alpha * t_excl, 0.0)
 
-        colors = pb[6:10, :]                         # [4, G]
+        # skip the depth channel when it is a known-zero pad (nchan == 3):
+        # d_col[3] == 0, so its g1 term and d_color row vanish
+        nch = 4 if has_depth else 3
+        colors = pb[6:6 + nch, :]                    # [nch, G]
         g1 = 0.0                                     # [G, P] (c_i . dC)
-        for c in range(4):
+        for c in range(nch):
             g1 = g1 + colors[c:c + 1, :].T * d_col[c:c + 1, :]
         u = g1 * w
         p_incl = prefix + _cumsum_g(u)               # [G, P] inclusive
@@ -278,17 +286,25 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         dq = -0.5 * dpw                                # d/d(quadratic)
 
         # per-entry reductions: moments + stats as explicit f32
-        # multiply-reduces (VPU); the transposed [12, G] layout is built
+        # multiply-reduces (VPU); the transposed [16, G] layout is built
         # directly row by row
         mom_rows = [jnp.sum(dq * h_feat[i:i + 1, :], axis=1)[None, :]
                     for i in range(6)]                 # 6 x [1, G]
         dlnop = jnp.sum(dpw, axis=1)[None, :]
-        w_sum = jnp.sum(w, axis=1)[None, :]
-        cnt = jnp.sum(ok.astype(jnp.float32), axis=1)[None, :]
-        err2 = jnp.sum(dpw * dpw, axis=1)[None, :]
+        zrow = jnp.zeros((1, G_BLK), jnp.float32)
+        if with_stats:
+            # fragment statistics (raster.cu:289-301,779-820): only
+            # computed on statistics epochs -- three [G, P] reduce passes
+            # the steady-state VJP skips
+            w_sum = jnp.sum(w, axis=1)[None, :]
+            cnt = jnp.sum(ok.astype(jnp.float32), axis=1)[None, :]
+            err2 = jnp.sum(dpw * dpw, axis=1)[None, :]
+        else:
+            w_sum, cnt, err2 = zrow, zrow, zrow
         d_color = jnp.concatenate(
             [jnp.sum(d_col[c:c + 1, :] * w, axis=1)[None, :]
-             for c in range(4)], axis=0)               # [4, G]
+             for c in range(nch)]
+            + [zrow] * (4 - nch), axis=0)              # [4, G]
         grad_ref[:, :] = jnp.concatenate(
             [d_color] + mom_rows + [dlnop, w_sum, cnt, err2,
              jnp.zeros((2, G_BLK), jnp.float32)], axis=0)
@@ -396,10 +412,11 @@ def block_tables(table, tiles_total: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
-                                             "tile_w", "interpret"))
+                                             "tile_w", "interpret",
+                                             "has_depth"))
 def raster_forward_pallas(params, block_tile, block_cnt,
                           tiles_total: int, tile_h: int, tile_w: int,
-                          interpret: bool = False):
+                          interpret: bool = False, has_depth: bool = True):
     """Run the forward kernel.
 
     Returns out_tiles [T + 1, 8, 128]; rows of tiles with no entries are
@@ -416,7 +433,8 @@ def raster_forward_pallas(params, block_tile, block_cnt,
                                lambda b, bt, bc: (bt[b], 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w)
+    kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w,
+                               has_depth=has_depth)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -427,10 +445,12 @@ def raster_forward_pallas(params, block_tile, block_cnt,
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
-                                             "tile_w", "interpret"))
+                                             "tile_w", "interpret",
+                                             "has_depth", "with_stats"))
 def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
                            tiles_total: int, tile_h: int, tile_w: int,
-                           interpret: bool = False):
+                           interpret: bool = False, has_depth: bool = True,
+                           with_stats: bool = True):
     """Run the backward kernel. Returns per-entry grads [16, E].
 
     dtiles: [T + 1, 8, 128] with rows 0..3 = upstream d(color/depth),
@@ -459,7 +479,8 @@ def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w)
+    kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w,
+                               has_depth=has_depth, with_stats=with_stats)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

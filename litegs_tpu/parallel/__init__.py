@@ -127,17 +127,21 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     chunk_size = pp.cluster_size
     nchunks = caps.primitive_capacity // chunk_size
 
+    # statistics ride the shared VJP via the gradient sink on the Pallas
+    # backend (see training/trainer.make_train_step and ops/raster)
+    use_sink = collect_stats and pp.raster_backend == "pallas"
+
     def shard_fn(state: TrainState, stats, chunk_origin, chunk_extend,
                  view, proj, planes, center, gt_image):
         # local leading axis is 1 (one camera per chip)
         view, proj = view[0], proj[0]
         planes, center, gt_image = planes[0], center[0], gt_image[0]
 
-        def loss_fn(params):
+        def loss_fn(params, sink=None):
             culled = render_preprocess(params, chunk_origin, chunk_extend,
                                        planes, center, sh_degree, pp, caps)
             out = render(culled, view, proj, img_h, img_w, pp, caps,
-                         interpret=interpret)
+                         interpret=interpret, stats_sink=sink)
             loss = losses.fused_l1_ssim_loss(out.img, gt_image,
                                              op.lambda_dssim)
             if op.reg_weight > 0.0:
@@ -146,8 +150,14 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 loss = loss + jnp.mean(jnp.abs(1.0 - out.transmitance))
             return loss, (out, culled)
 
-        (loss, (out, culled)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        g_sink = None
+        if use_sink:
+            sink0 = raster_ops.zero_stats_sink(caps.visible_capacity)
+            (loss, (out, culled)), (grads, g_sink) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(state.params, sink0)
+        else:
+            (loss, (out, culled)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
 
         # gradient all-reduce over ICI (replicated-param data parallelism)
         grads = jax.lax.pmean(grads, DATA_AXIS)
@@ -186,27 +196,31 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             step=state.step + jnp.where(overflow, 0, 1))
 
         if collect_stats:
-            aux = out.aux
+            if use_sink:
+                rstats = g_sink  # RasterStats off the shared VJP
+            else:
+                aux = out.aux
 
-            def tile_loss(tiles_color, tiles_trans):
-                img_all = um.tiles_to_img(tiles_color, img_h, img_w,
-                                          tile_h, tile_w)
-                img = jnp.clip(img_all[:3], 0.0, 1.0)
-                ls = losses.fused_l1_ssim_loss(img, gt_image, op.lambda_dssim)
-                if pp.enable_transmitance:
-                    t_img = um.tiles_to_img(tiles_trans[:, None], img_h,
-                                            img_w, tile_h, tile_w)
-                    ls = ls + jnp.mean(jnp.abs(1.0 - t_img))
-                return ls
+                def tile_loss(tiles_color, tiles_trans):
+                    img_all = um.tiles_to_img(tiles_color, img_h, img_w,
+                                              tile_h, tile_w)
+                    img = jnp.clip(img_all[:3], 0.0, 1.0)
+                    ls = losses.fused_l1_ssim_loss(img, gt_image,
+                                                   op.lambda_dssim)
+                    if pp.enable_transmitance:
+                        t_img = um.tiles_to_img(tiles_trans[:, None], img_h,
+                                                img_w, tile_h, tile_w)
+                        ls = ls + jnp.mean(jnp.abs(1.0 - t_img))
+                    return ls
 
-            d_col, d_trans = jax.grad(tile_loss, argnums=(0, 1))(
-                aux.tiles_color, aux.tiles_trans)
-            rstats = raster_ops.raster_stats(
-                aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
-                aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
-                tiles_total, tiles_x, tile_h, tile_w, img_h, img_w,
-                backend=pp.raster_backend, interpret=interpret,
-                cache=aux.cache)
+                d_col, d_trans = jax.grad(tile_loss, argnums=(0, 1))(
+                    aux.tiles_color, aux.tiles_trans)
+                rstats = raster_ops.raster_stats(
+                    aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
+                    aux.table, aux.tiles_color, aux.tiles_trans, d_col,
+                    d_trans, tiles_total, tiles_x, tile_h, tile_w, img_h,
+                    img_w, backend=pp.raster_backend, interpret=interpret,
+                    cache=aux.cache)
             zero = statistics.init_stats(caps.primitive_capacity)
             delta = statistics.update_stats(
                 zero, culled.chunk_ids, culled.valid,

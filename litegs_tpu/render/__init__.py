@@ -103,10 +103,11 @@ def render_preprocess(params: GaussianParams,
     dirs = jax.lax.stop_gradient(xyz) - cam_center[:, None]
     dirs = dirs / jnp.maximum(
         jnp.sqrt(jnp.sum(dirs ** 2, axis=0, keepdims=True)), 1e-12)
-    sh_coeff = jnp.concatenate([gather(params.sh_0), gather(params.sh_rest)],
-                               axis=0)
+    # DC band and rest stay separate tensors end to end: concatenating
+    # them costs ~3 ms/step in [16,3,N] relayout copies (sh_to_rgb_split)
     color = jnp.maximum(
-        sh_utils.sh_to_rgb(actived_sh_degree, sh_coeff, dirs), 0.0)
+        sh_utils.sh_to_rgb_split(actived_sh_degree, gather(params.sh_0),
+                                 gather(params.sh_rest), dirs), 0.0)
 
     return CulledGaussians(xyz=xyz, scale=scale, rot=rot, color=color,
                            opacity=opacity, valid=valid, chunk_ids=chunk_ids,
@@ -132,11 +133,16 @@ def estimate_view_sizes(culled: CulledGaussians, view_matrix, proj_matrix,
 def render(culled: CulledGaussians, view_matrix, proj_matrix,
            img_h: int, img_w: int,
            pp: PipelineParams, caps: CapacityParams,
-           interpret: bool = False) -> RenderedView:
+           interpret: bool = False, stats_sink=None) -> RenderedView:
     """Project visible gaussians and rasterize one view.
 
     Mirrors reference render (render/__init__.py:50-94): MVP -> transform
     matrix -> ray-space Jacobian -> cov2d -> inverse -> binning -> raster.
+
+    ``stats_sink``: optional zero RasterStats gradient-sink (see
+    ops/raster.rasterize) -- on statistics epochs the trainer passes it
+    and reads the densification statistics off the sink's loss gradient,
+    sharing the backward kernel + reduce with the parameter VJP.
     """
     tile_h, tile_w = pp.tile_size
     tiles_x = math.ceil(img_w / tile_w)
@@ -166,7 +172,8 @@ def render(culled: CulledGaussians, view_matrix, proj_matrix,
     tiles_color, tiles_trans, cache = raster_ops.rasterize(
         mean_pix, inv_cov, color_chan, culled.opacity, table,
         tiles_total, tiles_x, tile_h, tile_w,
-        backend=pp.raster_backend, interpret=interpret)
+        backend=pp.raster_backend, interpret=interpret,
+        stats_sink=stats_sink, img_h=img_h, img_w=img_w)
 
     img_all = um.tiles_to_img(tiles_color, img_h, img_w, tile_h, tile_w)
     img = jnp.clip(img_all[:3], 0.0, 1.0)

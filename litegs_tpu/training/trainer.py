@@ -85,14 +85,22 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     tiles_total = pymath.ceil(img_h / tile_h) * tiles_x
     chunk_size = pp.cluster_size
 
+    # On statistics epochs with the Pallas backend, the densification
+    # statistics ride the SAME backward-kernel run and per-point reduce as
+    # the parameter gradients, surfaced as the loss gradient w.r.t. a zero
+    # "sink" input (ops/raster.rasterize stats_sink).  This is the TPU
+    # analogue of the reference accumulating stats inside the real
+    # backward (raster.cu:289-301,779-820) -- no second kernel pass.
+    use_sink = collect_stats and pp.raster_backend == "pallas"
+
     def step(state: TrainState, stats: statistics.StatsState,
              chunk_origin, chunk_extend, view, proj, planes, center,
              gt_image, pose, frame_idx):
-        def loss_from(params, view, planes, center):
+        def loss_from(params, view, planes, center, sink=None):
             culled = render_preprocess(params, chunk_origin, chunk_extend,
                                        planes, center, sh_degree, pp, caps)
             out = render(culled, view, proj, img_h, img_w, pp, caps,
-                         interpret=interpret)
+                         interpret=interpret, stats_sink=sink)
             loss = losses.fused_l1_ssim_loss(out.img, gt_image,
                                              op.lambda_dssim)
             if op.reg_weight > 0.0:
@@ -101,23 +109,35 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 loss = loss + jnp.mean(jnp.abs(1.0 - out.transmitance))
             return loss, (out, culled)
 
+        sink0 = (raster_ops.zero_stats_sink(caps.visible_capacity)
+                 if use_sink else None)
+        g_sink = None
         if learnable_pose:
-            def loss_fn(params, extr_row):
+            def loss_fn(params, extr_row, sink):
                 v, pl_, c = pose_ops.camera_from_extr(extr_row, proj)
                 # culling planes and SH view dirs carry no pose gradient
                 # (reference: frustum/no_grad dirs, render/__init__.py:40)
                 return loss_from(params, v, jax.lax.stop_gradient(pl_),
-                                 jax.lax.stop_gradient(c))
+                                 jax.lax.stop_gradient(c), sink)
 
-            (loss, (out, culled)), (grads, g_extr) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(
-                    state.params, pose.extr[frame_idx])
+            argnums = (0, 1, 2) if use_sink else (0, 1)
+            (loss, (out, culled)), gs = jax.value_and_grad(
+                loss_fn, argnums=argnums, has_aux=True)(
+                    state.params, pose.extr[frame_idx], sink0)
+            grads, g_extr = gs[0], gs[1]
+            if use_sink:
+                g_sink = gs[2]
             new_pose = pose_ops.sparse_pose_adam(pose, frame_idx, g_extr,
                                                  lr=op.pose_lr)
         else:
-            (loss, (out, culled)), grads = jax.value_and_grad(
-                lambda p: loss_from(p, view, planes, center),
-                has_aux=True)(state.params)
+            argnums = (0, 1) if use_sink else 0
+            (loss, (out, culled)), gs = jax.value_and_grad(
+                lambda p, s: loss_from(p, view, planes, center, s),
+                argnums=argnums, has_aux=True)(state.params, sink0)
+            if use_sink:
+                grads, g_sink = gs
+            else:
+                grads = gs
             new_pose = pose
 
         nchunks = caps.primitive_capacity // chunk_size
@@ -147,28 +167,33 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             step=state.step + jnp.where(overflow, 0, 1))
 
         if collect_stats:
-            aux = out.aux
+            if use_sink:
+                rstats = g_sink  # RasterStats off the shared VJP
+            else:
+                # jnp-backend fallback: re-derive the image cotangent and
+                # run the explicit statistics pass (interpreted kernel)
+                aux = out.aux
 
-            def tile_loss(tiles_color, tiles_trans):
-                img_all = um.tiles_to_img(tiles_color, img_h, img_w,
-                                          tile_h, tile_w)
-                img = jnp.clip(img_all[:3], 0.0, 1.0)
-                ls = losses.fused_l1_ssim_loss(img, gt_image,
-                                               op.lambda_dssim)
-                if pp.enable_transmitance:
-                    t_img = um.tiles_to_img(tiles_trans[:, None], img_h,
-                                            img_w, tile_h, tile_w)
-                    ls = ls + jnp.mean(jnp.abs(1.0 - t_img))
-                return ls
+                def tile_loss(tiles_color, tiles_trans):
+                    img_all = um.tiles_to_img(tiles_color, img_h, img_w,
+                                              tile_h, tile_w)
+                    img = jnp.clip(img_all[:3], 0.0, 1.0)
+                    ls = losses.fused_l1_ssim_loss(img, gt_image,
+                                                   op.lambda_dssim)
+                    if pp.enable_transmitance:
+                        t_img = um.tiles_to_img(tiles_trans[:, None], img_h,
+                                                img_w, tile_h, tile_w)
+                        ls = ls + jnp.mean(jnp.abs(1.0 - t_img))
+                    return ls
 
-            d_col, d_trans = jax.grad(tile_loss, argnums=(0, 1))(
-                aux.tiles_color, aux.tiles_trans)
-            rstats = raster_ops.raster_stats(
-                aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
-                aux.table, aux.tiles_color, aux.tiles_trans, d_col, d_trans,
-                tiles_total, tiles_x, tile_h, tile_w, img_h, img_w,
-                backend=pp.raster_backend, interpret=interpret,
-                cache=aux.cache)
+                d_col, d_trans = jax.grad(tile_loss, argnums=(0, 1))(
+                    aux.tiles_color, aux.tiles_trans)
+                rstats = raster_ops.raster_stats(
+                    aux.mean_pix, aux.inv_cov, aux.color_chan, aux.opacity,
+                    aux.table, aux.tiles_color, aux.tiles_trans, d_col,
+                    d_trans, tiles_total, tiles_x, tile_h, tile_w, img_h,
+                    img_w, backend=pp.raster_backend, interpret=interpret,
+                    cache=aux.cache)
             new_stats = statistics.update_stats(
                 stats, culled.chunk_ids, culled.valid,
                 out.primitive_visible, rstats, chunk_size)

@@ -7,6 +7,7 @@ wrapper.py:21-164, recast as pytest).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from litegs_tpu.ops import binning, raster, raster_jnp
 from util_scenes import random_screen_gaussians
@@ -114,26 +115,83 @@ def test_stats():
                                want / gscale, atol=2e-3)
 
 
-def test_reduce_entries_to_points_vs_segment_sum():
+@pytest.mark.parametrize("k", [5, 6, 10])
+def test_reduce_entries_to_points_vs_segment_sum(k):
     """The sort+rowgather+cumdiff reduce must equal per-column
     segment_sum over valid entries (the reference's atomicAdd sum,
-    raster.cu:794-849), including pad slots and empty points."""
+    raster.cu:794-849), including pad slots and empty points.
+
+    K in {5, 6, 10} covers the single-group path (k <= 5) and the
+    two-group split (k > 5) including the odd 3+3 split at k=6
+    (ADVICE r2: the split branch needs direct coverage)."""
     args, table = build_scene(n=90, seed=3)
     m = args[0].shape[-1]
     e = table.sorted_point.shape[0]
     rng = np.random.default_rng(7)
-    rows = jnp.asarray(rng.standard_normal((5, e)), jnp.float32)
+    rows = jnp.asarray(rng.standard_normal((k, e)), jnp.float32)
     rows = jnp.where(table.entry_valid[None], rows, 0.0)
     got = np.asarray(raster.reduce_entries_to_points(
-        [rows[i] for i in range(5)], table, m))
+        [rows[i] for i in range(k)], table, m))
     ids = np.where(np.asarray(table.entry_valid),
                    np.asarray(table.sorted_point), m)
-    want = np.zeros((5, m + 1), np.float64)
+    want = np.zeros((k, m + 1), np.float64)
     np.add.at(want.T, ids, np.asarray(rows, np.float64).T)
     np.testing.assert_allclose(got, want[:, :m], atol=1e-4)
     # points with no entries must come out exactly zero
     untouched = np.setdiff1d(np.arange(m), ids)
     assert np.all(got[:, untouched] == 0.0)
+
+
+def test_stats_sink_matches_raster_stats():
+    """Statistics emitted as the sink's loss gradient (the shared-VJP
+    path the trainer uses on densify epochs) must equal the explicit
+    raster_stats pass for the same cotangent, and the parameter
+    gradients must be unchanged by requesting them."""
+    args, table = build_scene(n=80, seed=17)
+    mean, inv, color, op = args
+    m = mean.shape[-1]
+    rng = np.random.default_rng(5)
+    dcol = jnp.asarray(rng.standard_normal((TILES_TOTAL, 3, 128)),
+                       jnp.float32)
+    dtrans = jnp.asarray(0.1 * rng.standard_normal((TILES_TOTAL, 128)),
+                         jnp.float32)
+
+    def loss_with_sink(mean, inv, color, op, sink):
+        col, trans, _ = raster.rasterize(
+            mean, inv, color, op, table, TILES_TOTAL, TILES_X,
+            TILE_H, TILE_W, backend="pallas", interpret=True,
+            stats_sink=sink, img_h=IMG_H, img_w=IMG_W)
+        return jnp.sum(col * dcol) + jnp.sum(trans * dtrans)
+
+    sink0 = raster.zero_stats_sink(m)
+    grads = jax.grad(loss_with_sink, argnums=(0, 1, 2, 3, 4))(
+        mean, inv, color, op, sink0)
+    got = grads[4]
+    assert isinstance(got, raster.RasterStats)
+
+    # reference: the explicit statistics pass with the same cotangent
+    col_p, trans_p = _run("pallas", args, table)
+    want = raster.raster_stats(
+        mean, inv, color, op, table, col_p, trans_p, dcol, dtrans,
+        TILES_TOTAL, TILES_X, TILE_H, TILE_W, IMG_H, IMG_W,
+        backend="pallas", interpret=True)
+    for name in raster.RasterStats._fields:
+        a = np.asarray(getattr(want, name))
+        b = np.asarray(getattr(got, name))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   err_msg=name)
+
+    # parameter gradients must be identical with and without the sink
+    g_plain = jax.grad(_loss_fn("pallas", table, jnp.pad(
+        dcol, ((0, 0), (0, 0), (0, 0))), dtrans),
+        argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(["mean", "invcov", "color", "opacity"],
+                          g_plain, grads[:4]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   err_msg=name)
 
 
 def test_cumprod_excl_matches_sequential():
