@@ -73,10 +73,10 @@ def main():
         visible_capacity=cfg.round_up(n_points, 128),
         row_capacity=cfg.round_up(n_points * 4, 128),
         entry_capacity=cfg.round_up(n_points * 8, 128))
-    # 32x32 tiles measured fastest at this shape (2.64 it/s vs 2.13 at
-    # 16x16, 1.9 at 16x32; PERF.md) -- fewer tile crossings + less
-    # 128-alignment padding outweigh the larger per-tile pixel blocks
-    th, tw = map(int, os.environ.get("BENCH_TILE", "32x32").split("x"))
+    # r3 tile re-sweep at 60 iters: 32x24 -> 4.39 it/s vs 32x32 -> 4.34,
+    # 24x32 -> 4.07, 40x32 -> 4.12 (PERF.md); 32x24 trims per-tile pixel
+    # work (768 lanes) without growing the entry table much
+    th, tw = map(int, os.environ.get("BENCH_TILE", "32x24").split("x"))
     pp = cfg.PipelineParams(raster_backend=backend, tile_size=(th, tw))
     lp = cfg.ModelParams(sh_degree=sh_degree)
     op_ = cfg.OptimizationParams()
