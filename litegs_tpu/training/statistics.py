@@ -60,17 +60,34 @@ def update_stats(stats: StatsState, chunk_ids, valid_mask,
                  chunk_size: int) -> StatsState:
     """Accumulate one iteration's statistics.
 
+    The compacted -> global scatter is done at CHUNK granularity as an
+    inverse-map GATHER (the visible->global map is chunk-affine with
+    unique chunk ids), not a per-primitive scatter-add: 7 scatter-adds at
+    1M indices measure ~48 ms on-chip while this form moves the same
+    bytes with ~8k chunk indices (scripts/microbench_r3.py
+    stats_scatter_*; the reference's dedicated sparse_scatter_kernel,
+    compact.cu:1215-1335, is the CUDA shape of the same idea).
+
     Args:
-      chunk_ids: [Mv/chunk] visible chunk ids.
+      chunk_ids: [Mv/chunk] visible chunk ids (unique; tail arbitrary).
       valid_mask: [Mv] bool (False past the visible prefix).
       primitive_visible: [Mv] bool from binning.
       raster_stats: ops.raster.RasterStats over the compacted axis.
     """
-    idx = global_indices(chunk_ids, chunk_size)
-    idx = jnp.where(valid_mask, idx, stats.weight_sum.shape[0])  # drop tail
+    n = stats.weight_sum.shape[0]
+    nchunks = n // chunk_size
+    cap = chunk_ids.shape[0]
+    chunk_valid = valid_mask[::chunk_size]                      # [cap]
+    pos = jnp.where(chunk_valid, chunk_ids, nchunks)
+    # global chunk -> compacted rank; cap (-> zero pad row) if invisible
+    inv = jnp.full((nchunks,), cap, jnp.int32).at[pos].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
 
     def add(acc, val):
-        return acc.at[idx].add(val.astype(acc.dtype), mode="drop")
+        vc = val.astype(acc.dtype).reshape(cap, chunk_size)
+        vc = jnp.pad(vc, ((0, 1), (0, 0)))                      # zero row
+        return acc + jnp.take(vc, inv, axis=0).reshape(-1)
 
     return StatsState(
         visible_count=add(stats.visible_count,

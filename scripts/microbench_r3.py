@@ -94,5 +94,32 @@ def main():
               idx, sign)
 
 
+def bench_stats_scatter():
+    """7 independent 1-D index-adds (update_stats today) vs ONE [Mv, 7]
+    row-scatter-add -- per-index overhead should dominate like gathers."""
+    import jax
+    import jax.numpy as jnp
+    mv, n = 1_015_808, 1_048_576 + 16384
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(rng.integers(0, n, mv).astype(np.int32))
+    vals = [jnp.asarray(rng.random(mv, dtype=np.float32)) for _ in range(7)]
+    accs = [jnp.zeros((n,), jnp.float32) for _ in range(7)]
+
+    def seven(idx, accs, vals):
+        return [a.at[idx].add(v, mode="drop")
+                for a, v in zip(accs, vals)]
+
+    def batched(idx, accs, vals):
+        stacked = jnp.stack(vals, axis=1)                 # [Mv, 7]
+        acc = jnp.stack(accs, axis=1)                     # [N, 7]
+        out = acc.at[idx].add(stacked, mode="drop")
+        return [out[:, i] for i in range(7)]
+
+    bench("stats_scatter_7x1d", seven, idx, accs, vals)
+    bench("stats_scatter_rowbatched", batched, idx, accs, vals)
+
+
 if __name__ == "__main__":
     main()
+    if os.environ.get("BENCH_STATS_SCATTER"):
+        bench_stats_scatter()

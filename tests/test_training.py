@@ -215,3 +215,56 @@ def test_densify_append_stays_chunk_aligned_when_scores_scarce():
     active = int(active)
     assert active % chunk == 0, active
     assert active >= n_active
+
+
+def test_update_stats_matches_scatter_add():
+    """The chunk-granular gather form of update_stats (r3: inverse map +
+    chunk row-gather, ~16x cheaper on-chip than 7 scatter-adds at 1M
+    indices) must equal the per-primitive scatter-add, including prior
+    accumulation, the invalid tail, and untouched chunks."""
+    from litegs_tpu.ops.raster import RasterStats
+
+    rng = np.random.default_rng(3)
+    chunk = 128
+    n = 8 * chunk
+    cap_chunks = 4
+    mv = cap_chunks * chunk
+    num_vis = 3
+    ids = np.array([5, 0, 2, 7], np.int32)  # slot 3 (id 7) is tail junk
+    valid = (np.arange(mv) // chunk) < num_vis
+    pv = rng.random(mv) > 0.5
+    vals = {f: rng.standard_normal(mv).astype(np.float32)
+            for f in ["weight_sum", "err_sum", "err_square_sum",
+                      "frag_count", "grad_norm"]}
+    rs = RasterStats(**{k: jnp.asarray(v) for k, v in vals.items()})
+    stats0 = statistics.init_stats(n)
+    stats0 = statistics.StatsState(
+        *[x + (np.arange(n) % 7).astype(x.dtype) for x in stats0])
+
+    got = statistics.update_stats(stats0, jnp.asarray(ids),
+                                  jnp.asarray(valid), jnp.asarray(pv),
+                                  rs, chunk)
+
+    idx = ids.repeat(chunk) * chunk + np.tile(np.arange(chunk), cap_chunks)
+    idx = np.where(valid, idx, n)
+
+    def ref_add(acc, val):
+        o = np.append(np.asarray(acc, np.float64), 0.0)
+        np.add.at(o, idx, np.asarray(val, np.float64))
+        return o[:n]
+
+    want = {
+        "visible_count": ref_add(stats0.visible_count,
+                                 (pv & valid).astype(np.int32)),
+        "weight_sum": ref_add(stats0.weight_sum, vals["weight_sum"]),
+        "weight_sq_sum": ref_add(stats0.weight_sq_sum,
+                                 vals["weight_sum"] ** 2),
+        "err_sum": ref_add(stats0.err_sum, vals["err_sum"]),
+        "err_sq_sum": ref_add(stats0.err_sq_sum, vals["err_square_sum"]),
+        "frag_count": ref_add(stats0.frag_count, vals["frag_count"]),
+        "grad_norm_sum": ref_add(stats0.grad_norm_sum, vals["grad_norm"]),
+    }
+    for f in statistics.StatsState._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f), np.float64), want[f],
+            atol=1e-5, err_msg=f)
