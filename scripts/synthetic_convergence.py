@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--backend", type=str, default=None)
     parser.add_argument("--densify_mode", type=str, default="taming",
                         choices=["taming", "official"])
+    parser.add_argument("--tile", type=str, default="16x32",
+                        help="tile size HxW (16x32 suits the small "
+                             "default frame; use 32x24 at garden scale, "
+                             "PERF.md r3 sweep)")
     args = parser.parse_args(argv)
 
     import jax
@@ -51,7 +55,8 @@ def main(argv=None):
     lp = cfg.ModelParams(sh_degree=args.sh_degree)
     op = cfg.OptimizationParams(iterations=args.iters,
                                 position_lr_max_steps=args.iters)
-    pp = cfg.PipelineParams(raster_backend=backend, tile_size=(16, 32))
+    th, tw = map(int, args.tile.split("x"))
+    pp = cfg.PipelineParams(raster_backend=backend, tile_size=(th, tw))
     total_epochs = max(args.iters // args.frames, 1)
     dp = cfg.DensifyParams(densification_interval=4, densify_from=3,
                            densify_until=int(total_epochs * 0.7),
