@@ -15,7 +15,7 @@ is emitted as an async start/done pair with compute scheduled between
 (XLA's latency-hiding scheduler; on real ICI the same schedule overlaps
 the collective with the tail of the backward).
 
-Writes SCALING_r2.md.  Run: python scripts/scaling_mesh.py
+Writes SCALING_r(N).md (env SCALING_OUT overrides).  Run: python scripts/scaling_mesh.py
 """
 from __future__ import annotations
 
@@ -29,6 +29,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -118,7 +121,7 @@ def main():
 
     t1 = rows[0][1]
     lines = [
-        "# Virtual-mesh scaling (round 2)", "",
+        "# Virtual-mesh scaling (round 3)", "",
         "One physical core hosts all virtual devices, so the measurable",
         "quantity is parallel *overhead*, not speedup:",
         "efficiency(D) = T_1 / (T_D / D).", "",
@@ -144,7 +147,8 @@ def main():
         ]
     else:
         lines += [f"HLO inspection failed: {hlo_overlap}"]
-    out = os.path.join(os.path.dirname(__file__), "..", "SCALING_r2.md")
+    out = os.environ.get("SCALING_OUT", os.path.join(
+        os.path.dirname(__file__), "..", "SCALING_r3.md"))
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote", os.path.abspath(out), file=sys.stderr)
