@@ -82,7 +82,11 @@ def _conv3x3(x, w, b):
 
 def _vgg_features(x, convs):
     """x [3,H,W] in [0,1] -> list of tapped feature maps."""
-    x = (x - (0.5 + _SHIFT[:, None, None])) / _SCALE[:, None, None]
+    # canonical lpips-package input path (v0.1, normalize=True): map
+    # [0,1] -> [-1,1] first, THEN the ScalingLayer (shift/scale are
+    # defined on the [-1,1] domain) -- cross-checked against a torch
+    # transcription in tests/test_lpips_torch_parity.py
+    x = (2.0 * x - 1.0 - _SHIFT[:, None, None]) / _SCALE[:, None, None]
     feats = []
     ci = 0
     for c in _VGG_CFG:
@@ -108,8 +112,9 @@ def _lpips_pair(img, gt, *flat):
     fb = _vgg_features(gt, convs)
     total = 0.0
     for a, b, lin in zip(fa, fb, lins):
-        na = a / jnp.sqrt(jnp.sum(a * a, axis=0, keepdims=True) + 1e-10)
-        nb = b / jnp.sqrt(jnp.sum(b * b, axis=0, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor adds eps OUTSIDE the sqrt
+        na = a / (jnp.sqrt(jnp.sum(a * a, axis=0, keepdims=True)) + 1e-10)
+        nb = b / (jnp.sqrt(jnp.sum(b * b, axis=0, keepdims=True)) + 1e-10)
         d = (na - nb) ** 2                        # [C, H, W]
         total = total + jnp.mean(
             jnp.sum(lin[:, None, None] * d, axis=0))
