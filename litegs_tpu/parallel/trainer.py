@@ -98,6 +98,14 @@ class ParallelTrainer:
         return (self.dp.densify_from <= epoch < self.densify_until
                 and epoch % self.dp.densification_interval == 0)
 
+    def _collect_stats(self, epoch: int) -> bool:
+        """Official mode accumulates grad norms every iteration between
+        densify events (original-3DGS semantics; see
+        training.trainer.Trainer._collect_stats)."""
+        if self.dp.densify_mode == "official":
+            return epoch < self.densify_until
+        return self.is_densify_active(epoch)
+
     def _get_step(self, sh_degree: int, collect: bool):
         k = (sh_degree, collect)
         if k not in self._step_cache:
@@ -118,7 +126,7 @@ class ParallelTrainer:
 
     def run_epoch(self, state, stats, epoch: int):
         sh_deg = self._sh_degree(epoch)
-        collect = self.is_densify_active(epoch)
+        collect = self._collect_stats(epoch)
         step_fn = self._get_step(sh_deg, collect)
         origin, extend = masked_chunk_aabb(state.params, state.active_count,
                                            self.pp.cluster_size)

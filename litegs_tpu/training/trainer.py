@@ -299,6 +299,21 @@ class Trainer:
         return (self.dp.densify_from <= epoch < self.densify_until
                 and epoch % self.dp.densification_interval == 0)
 
+    def _collect_stats(self, epoch: int) -> bool:
+        """Whether this epoch's train steps collect densify statistics.
+
+        Taming mode scores from ONE epoch of fragment statistics (the
+        densify epoch itself).  Official mode follows the original-3DGS
+        accumulation scheme: positional-gradient norms and visit counts
+        accumulate EVERY iteration between densify events (Inria
+        add_densification_stats runs each backward; accumulators are
+        zeroed after each densify_and_prune -- here by the stats reset in
+        epoch_boundary).  Collection rides the shared raster VJP and
+        costs ~+8 ms/step (PERF.md r3), so always-on is affordable."""
+        if self.dp.densify_mode == "official":
+            return epoch < self.densify_until
+        return self.is_densify_active(epoch)
+
     def _frame_caps(self, frame: int) -> cfg.CapacityParams:
         """Capacities for one frame from the per-frame feedback signal.
 
@@ -353,7 +368,7 @@ class Trainer:
         stepping in make_train_step).
         """
         sh_deg = self._sh_degree(epoch)
-        collect = self.is_densify_active(epoch)
+        collect = self._collect_stats(epoch)
         origin, extend = masked_chunk_aabb(state.params, state.active_count,
                                            self.pp.cluster_size)
         if frame_ids is None:

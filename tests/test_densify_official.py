@@ -91,3 +91,50 @@ def test_official_selection_matches_accumulation_semantics():
         np.testing.assert_allclose(
             np.asarray(p2.sh_0)[..., active:active + appended],
             np.asarray(params.sh_0)[..., src], atol=1e-6)
+
+
+def test_official_mode_collects_every_epoch():
+    """Original-3DGS accumulation: official mode collects statistics on
+    EVERY epoch before densify_until (not just densify epochs), so
+    grad_norm_sum / visible_count average over all iterations between
+    densify events; taming keeps the one-epoch window."""
+    trainer, _, _ = small_setup(
+        iterations=80, target=1536, densify_from=2, interval=4)
+    trainer.dp = dataclasses.replace(trainer.dp, densify_mode="official")
+    until = trainer.densify_until
+    assert until > 3
+    assert trainer._collect_stats(0)          # pre-from epochs accumulate
+    assert trainer._collect_stats(1)
+    assert trainer._collect_stats(3)          # non-densify epoch
+    assert not trainer._collect_stats(until)  # after the densify window
+    assert trainer.is_densify_active(4)       # from=2, interval=4
+
+    trainer.dp = dataclasses.replace(trainer.dp, densify_mode="taming")
+    assert not trainer._collect_stats(1)
+    assert not trainer._collect_stats(3)
+    assert trainer._collect_stats(4) and trainer.is_densify_active(4)
+
+
+def test_official_mode_accumulates_across_epochs():
+    """Stats must grow across consecutive collected epochs and reset
+    after a densify event."""
+    import jax.numpy as jnp
+    from litegs_tpu.training import statistics
+
+    trainer, init_xyz, init_color = small_setup(
+        iterations=64, target=1536, densify_from=3, interval=3)
+    trainer.dp = dataclasses.replace(trainer.dp, densify_mode="official")
+    state = trainer.init_state(init_xyz, init_color)
+    stats = statistics.init_stats(trainer.caps.primitive_capacity)
+
+    state, stats, _ = trainer.run_epoch(state, stats, 0)
+    v1 = int(jnp.sum(stats.visible_count))
+    g1 = float(jnp.sum(stats.grad_norm_sum))
+    assert v1 > 0 and g1 > 0          # collected on a non-densify epoch
+    state, stats, _ = trainer.run_epoch(state, stats, 1)
+    v2 = int(jnp.sum(stats.visible_count))
+    assert v2 > v1                    # accumulated, not overwritten
+    # densify epoch resets the accumulators afterwards
+    state, stats, _ = trainer.run_epoch(state, stats, 3)
+    state, stats = trainer.epoch_boundary(state, stats, 3)
+    assert int(jnp.sum(stats.visible_count)) == 0
