@@ -45,7 +45,9 @@ def main():
                                   1_000_000 if on_tpu else 20_000))
     img_h = int(os.environ.get("BENCH_H", 840 if on_tpu else 128))
     img_w = int(os.environ.get("BENCH_W", 1296 if on_tpu else 256))
-    n_iters = int(os.environ.get("BENCH_ITERS", 30 if on_tpu else 3))
+    # 60 iters: steady-state regime (the 15-frame mixed warmup's enqueue
+    # backlog amortizes; 30-iter runs read ~2% low vs 60, PERF.md r3)
+    n_iters = int(os.environ.get("BENCH_ITERS", 60 if on_tpu else 3))
     backend = os.environ.get("BENCH_BACKEND",
                              "pallas" if on_tpu else "jnp")
 
