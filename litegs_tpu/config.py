@@ -55,11 +55,13 @@ class PipelineParams:
     # Over-allocation margin on observed sizes (reference: x1.2 culling /
     # x1.5 binning feedback, compact.cu:535 / binning.cu:152).  Every
     # binning scan/sort/gather scales with CAPACITY, so slack is pure
-    # overhead: 1.25 -> 1.1 measured +11% train throughput, and on-chip
-    # convergence runs with densification at 1.1 show zero overflows
-    # (overflow is safe regardless: the step no-ops and the frame
-    # retries at a 1.5x-margined bucket).
-    capacity_margin: float = 1.1
+    # overhead: 1.25 -> 1.1 measured +11% train throughput, 1.1 -> 1.05
+    # a further +2.7% (4.39 -> 4.51 it/s, PERF.md r3), and on-chip
+    # convergence runs with densification at 1.05 show zero overflows --
+    # the trend-extrapolated feedback plus the post-densify/post-overflow
+    # cushions absorb growth (overflow is safe regardless: the step
+    # no-ops and the frame retries at a 1.5x-margined bucket).
+    capacity_margin: float = 1.05
     # Ablation: keep every chunk (skip the frustum-culling test).  The
     # TPU equivalent of the reference's non-clustered `--cluster_size 0`
     # ablation point (ablations_culling.py:75) -- chunking itself stays

@@ -44,11 +44,12 @@ def save_ply(path: str, params: GaussianParams,
     xyz = np.asarray(params.xyz)[:, :n].T                        # [N, 3]
     normals = np.zeros_like(xyz)
     f_dc = np.asarray(params.sh_0)[0, :, :n].T                   # [N, 3]
-    k = params.sh_rest.shape[0]
-    # [K, 3, N] -> [N, 3, K] -> [N, 3K] channel-major like the reference
-    # (ply.py:20-23: transpose(1,2).flatten -> [N, 3*K] with rgb-major)
-    f_rest = np.asarray(params.sh_rest)[:, :, :n].transpose(2, 1, 0)
-    f_rest = f_rest.reshape(n, 3 * k)
+    k = params.sh_rest.shape[0] // 3
+    # flat [K*3, N] -> [K, 3, N] -> [N, 3, K] -> [N, 3K] channel-major
+    # like the reference (ply.py:20-23: transpose(1,2).flatten -> [N, 3*K]
+    # with rgb-major) -- disk format unchanged by the flat storage layout
+    f_rest = np.asarray(params.sh_rest).reshape(k, 3, -1)[:, :, :n]
+    f_rest = f_rest.transpose(2, 1, 0).reshape(n, 3 * k)
     opacity = np.asarray(params.opacity)[:, :n].T                # [N, 1]
     scale = np.asarray(params.scale)[:, :n].T                    # [N, 3]
     rot = np.asarray(params.rot)[:, :n].T                        # [N, 4]
@@ -140,10 +141,10 @@ def load_ply(path: str) -> GaussianParams:
     k = n_rest // 3
     if n_rest:
         rest = np.stack([v[f"f_rest_{i}"] for i in range(n_rest)])
-        sh_rest = rest.reshape(3, k, n).transpose(1, 0, 2).astype(
-            np.float32)                                           # [K, 3, N]
+        sh_rest = rest.reshape(3, k, n).transpose(1, 0, 2).reshape(
+            k * 3, n).astype(np.float32)                   # flat [K*3, N]
     else:
-        sh_rest = np.zeros((0, 3, n), np.float32)
+        sh_rest = np.zeros((0, n), np.float32)
     opacity = v["opacity"][None].astype(np.float32)
     scale = np.stack([v[f"scale_{i}"] for i in range(3)]).astype(np.float32)
     rot = np.stack([v[f"rot_{i}"] for i in range(4)]).astype(np.float32)

@@ -32,7 +32,13 @@ class GaussianParams(NamedTuple):
       scale:   [3, N]   log-scales (exp activation)
       rot:     [4, N]   unnormalized quaternions (w,x,y,z)
       sh_0:    [1, 3, N] DC spherical-harmonic coefficients
-      sh_rest: [K, 3, N] higher-order SH, K = (deg+1)**2 - 1
+      sh_rest: [K*3, N] higher-order SH, K = (deg+1)**2 - 1, stored FLAT
+               coefficient-major (band k channel c at row (k-1)*3 + c).
+               A 2-D tensor has exactly one sensible N-minor layout, so
+               XLA never inserts [K, 3, N] dim-order relayout copies
+               between the SH eval, the Adam update, and the chunk
+               gather/scatter VJP (~8 ms/step at 1M points, HLO trace
+               reshape.59/.1171/.1173 + copy.184/.190 in PERF.md r3).
       opacity: [1, N]   logit opacities (sigmoid activation)
     """
 
@@ -49,7 +55,7 @@ class GaussianParams(NamedTuple):
 
     @property
     def sh_degree(self) -> int:
-        return int(round((self.sh_rest.shape[0] + 1) ** 0.5)) - 1
+        return int(round((self.sh_rest.shape[0] // 3 + 1) ** 0.5)) - 1
 
 
 def knn_mean_sq_dist(xyz: jax.Array, k: int = 3,
@@ -109,7 +115,7 @@ def create_gaussians(init_xyz, init_color, sh_degree: int) -> GaussianParams:
     scale = jnp.log(jnp.sqrt(dist2))[None].repeat(3, axis=0)
     rot = jnp.zeros((4, n), jnp.float32).at[0].set(1.0)
     sh_0 = sh_utils.rgb_to_sh0(init_color.T)[None]
-    sh_rest = jnp.zeros(((sh_degree + 1) ** 2 - 1, 3, n), jnp.float32)
+    sh_rest = jnp.zeros((((sh_degree + 1) ** 2 - 1) * 3, n), jnp.float32)
     opacity = jnp.full((1, n), jnp.log(0.1 / 0.9), jnp.float32)
     return GaussianParams(xyz=init_xyz.T, scale=scale, rot=rot, sh_0=sh_0,
                           sh_rest=sh_rest, opacity=opacity)

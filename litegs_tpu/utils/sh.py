@@ -53,10 +53,18 @@ def sh_to_rgb_split(deg: int, sh0, sh_rest, dirs):
     on the TPU (HLO trace: pad_add_fusion / split.6 / reshape.117x).
 
     Args:
-      sh0: [1, C, N]; sh_rest: [K-1, C, N] with K >= (deg+1)**2.
+      sh0: [1, C, N]; sh_rest: flat [(K-1)*C, N] coefficient-major (band
+        k channel c at row (k-1)*C + c -- the GaussianParams storage
+        layout; keeping the parameter 2-D avoids [K-1, C, N] dim-order
+        relayout copies between the SH eval, Adam, and the chunk
+        gather/scatter, ~8 ms/step at 1M points) or legacy [K-1, C, N].
     """
-    return _sh_eval(deg,
-                    lambda k: sh0[0] if k == 0 else sh_rest[k - 1], dirs)
+    if sh_rest.ndim == 2:
+        c = sh0.shape[1]
+        band = lambda k: sh0[0] if k == 0 else sh_rest[(k - 1) * c:k * c]
+    else:
+        band = lambda k: sh0[0] if k == 0 else sh_rest[k - 1]
+    return _sh_eval(deg, band, dirs)
 
 
 def _sh_eval(deg: int, sh, dirs):

@@ -50,7 +50,7 @@ def test_official_selection_matches_accumulation_semantics():
     mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
     params = GaussianParams(xyz=mk(3, n_cap), scale=mk(3, n_cap) - 2,
                             rot=mk(4, n_cap), sh_0=mk(1, 3, n_cap),
-                            sh_rest=mk(3, 3, n_cap), opacity=mk(1, n_cap))
+                            sh_rest=mk(9, n_cap), opacity=mk(1, n_cap))
     adam = init_adam(params)
 
     # hand-built accumulators: primitive i was visible vis[i] times and

@@ -27,7 +27,7 @@ def random_params(n=200, sh_degree=2, seed=0):
         scale=jnp.asarray(rng.normal(size=(3, n)), jnp.float32),
         rot=jnp.asarray(rng.normal(size=(4, n)), jnp.float32),
         sh_0=jnp.asarray(rng.normal(size=(1, 3, n)), jnp.float32),
-        sh_rest=jnp.asarray(rng.normal(size=(k, 3, n)), jnp.float32),
+        sh_rest=jnp.asarray(rng.normal(size=(k * 3, n)), jnp.float32),
         opacity=jnp.asarray(rng.normal(size=(1, n)), jnp.float32))
 
 

@@ -23,7 +23,7 @@ def make_state(n_cap=1024, active=640, seed=0):
     mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
     params = GaussianParams(xyz=mk(3, n_cap), scale=mk(3, n_cap) - 2,
                             rot=mk(4, n_cap), sh_0=mk(1, 3, n_cap),
-                            sh_rest=mk(3, 3, n_cap), opacity=mk(1, n_cap))
+                            sh_rest=mk(9, n_cap), opacity=mk(1, n_cap))
     adam = init_adam(params)
     stats = statistics.init_stats(n_cap)
     stats = stats._replace(
