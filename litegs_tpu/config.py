@@ -154,6 +154,24 @@ import os as _os
 
 RASTER_BLOCK = int(_os.environ.get("LITEGS_RASTER_BLOCK", "128"))
 
+# Which rasterizer blend-math stages run on the MXU (matmul units) instead
+# of VPU broadcast/reduce passes.  Stage chars: q(uadratic), c(umprod),
+# a(ccumulate), s(uffix cumsum), g(1), d(_color), m(oments) -- see
+# ops/raster_pallas.MXU_MODE.  Default "asgm" = the stages measured faster
+# AT PARITY on-chip (scripts/microbench_mxu.py, PERF.md r4: fwd 43.6->40.8
+# ms with 'a', bwd 63.4->54.9 ms with 'sgm', deviations <= 6e-6).  'q' is
+# REJECTED on parity grounds (3e-3 image deviation: the HIGHEST bf16-split
+# can't absorb the f1/fx term cancellation); 'c' and 'd' measured neutral
+# to slower.  Env override is for experiments only.
+RASTER_MXU_MODE = _os.environ.get("LITEGS_RASTER_MXU", "asgm")
+
+# Binning expansion backend: streaming Pallas window kernels (1) vs the XLA
+# scatter+cummax+row-gather pipeline (0).  The streaming kernels exploit
+# the monotone non-decreasing owner structure of the two expansions to
+# replace random per-index gathers (~7.5 ns/index floor) with sequential
+# window reads; see ops/stream_gather.expand_attrs_windowed.
+BINNING_STREAM = _os.environ.get("LITEGS_BINNING_STREAM", "0") == "1"
+
 
 def auto_capacity(target_primitives: int,
                   visible_frac: float = 0.9,

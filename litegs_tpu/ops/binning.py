@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from . import scan
-from ..config import RASTER_BLOCK
+from ..config import BINNING_STREAM, RASTER_BLOCK
 
 
 class BinningResult(NamedTuple):
@@ -214,6 +214,35 @@ def tile_counts_for_rows(px, py, a, b, c, t, disc, row, tile_h, tile_w,
     return min_tile, count
 
 
+def _y_span_in_xband(px, py, a, b, c, t, disc, x0, x1):
+    """Exact y-extent of the ellipse {q <= t} within the x-band [x0, x1].
+
+    The transpose of :func:`tile_counts_for_rows` (x <-> y, a <-> c): the
+    y-extremes within a vertical band are attained either at the ellipse's
+    global y-apex (if its x lies in the band) or on a band edge; clamping
+    the apex's x-offset into the band (itself clamped to the ellipse's
+    x-extent) selects the right case.  Used to TIGHTEN the emitted row
+    range to rows whose x-span survives the image clip -- without it,
+    edge-straddling ellipses (the 1.3 NDC guard band admits off-screen
+    centers, binning.cu:301) emit rows whose every tile is off-image
+    (count 0), which the streaming expansion kernels must not see and the
+    tables pay for.  Removing zero-count rows never changes the entry set.
+    """
+    dx_max = jnp.sqrt(jnp.maximum(-t * c / disc, 0.0))
+    e0 = jnp.clip(x0 - px, -dx_max, dx_max)
+    e1 = jnp.clip(x1 - px, -dx_max, dx_max)
+    dy_max = jnp.sqrt(jnp.maximum(-t * a / disc, 0.0))
+    e_ymin = (b / a) * dy_max       # x-offset at the global y-min apex
+    e_ymax = -e_ymin
+    ee_min = jnp.clip(e_ymin, e0, e1)
+    ee_max = jnp.clip(e_ymax, e0, e1)
+    sq_min = jnp.sqrt(jnp.maximum(disc * ee_min * ee_min + t * c, 0.0))
+    sq_max = jnp.sqrt(jnp.maximum(disc * ee_max * ee_max + t * c, 0.0))
+    y_lo = py + (-b * ee_min - sq_min) / c
+    y_hi = py + (-b * ee_max + sq_max) / c
+    return y_lo, y_hi
+
+
 def _ellipse_tile_rect(px, py, a_s, c_s, t_s, disc_s,
                        tile_h, tile_w, tiles_x, tiles_y):
     """Shared exact ellipse extent -> clipped tile rect (binning.cu:324-355).
@@ -273,9 +302,18 @@ def estimate_table_sizes(ndc, view_z, inv_cov2d, opacity, valid_mask,
                       n_entries.astype(jnp.int32)])
 
 
+def _sps(capacity: int) -> int:
+    """Largest streaming step size dividing a (128-aligned) capacity."""
+    for s in (512, 256, 128):
+        if capacity % s == 0:
+            return s
+    raise ValueError(f"capacity {capacity} not 128-aligned")
+
+
 def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
                      img_h: int, img_w: int, tile_h: int, tile_w: int,
-                     row_capacity: int, entry_capacity: int) -> BinningResult:
+                     row_capacity: int, entry_capacity: int,
+                     stream: bool = None) -> BinningResult:
     """Construct the depth-sorted per-tile gaussian table.
 
     Args:
@@ -286,7 +324,13 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
       valid_mask: [M] bool, False for padding slots.
       img_h..tile_w: static image/tile geometry.
       row_capacity / entry_capacity: static expansion capacities.
+      stream: run the two expansions as streaming Pallas window kernels
+        (default config.BINNING_STREAM); a window overrun sets the
+        overflow flag (same no-op-and-retry discipline as capacity
+        overflow), which the tightened row emission makes ~impossible.
     """
+    if stream is None:
+        stream = BINNING_STREAM
     m = ndc.shape[-1]
     tiles_x = math.ceil(img_w / tile_w)
     tiles_y = math.ceil(img_h / tile_h)
@@ -317,11 +361,27 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     _, _, rect_min_x, rect_max_x, rect_min_y, rect_max_y = \
         _ellipse_tile_rect(px, py, a_s, c_s, t_s, disc_s,
                            tile_h, tile_w, tiles_x, tiles_y)
+    # tighten the row range to rows with a nonempty clipped x-span (every
+    # emitted row then produces >= 1 entry, the precondition of the
+    # streaming expansion): y-extent of ellipse ∩ [first tile's left edge,
+    # last tile's right edge], rows overlapping it
+    y_lo, y_hi = _y_span_in_xband(
+        px, py, a_s, b, c_s, t_s, disc_s,
+        rect_min_x.astype(jnp.float32) * tile_w,
+        rect_max_x.astype(jnp.float32) * tile_w)
+    row_min_y = jnp.clip(jnp.floor(y_lo / tile_h).astype(jnp.int32),
+                         rect_min_y, rect_max_y)
+    row_max_y = jnp.clip(jnp.floor(y_hi / tile_h).astype(jnp.int32) + 1,
+                         rect_min_y, rect_max_y)
     n_rows = jnp.where(safe & (rect_max_x > rect_min_x),
-                       rect_max_y - rect_min_y, 0)
+                       jnp.maximum(row_max_y - row_min_y, 0), 0)
 
     # ---- depth order (wrapper.py:739-742): front-to-back over points ----
-    z_key = jnp.where(visible, view_z, jnp.inf).astype(jnp.float32)
+    # points emitting no rows sort to the tail so row counts > 0 form a
+    # contiguous prefix in depth order (streaming-expansion precondition;
+    # order among non-emitting points is irrelevant -- they emit nothing)
+    z_key = jnp.where(visible & (n_rows > 0), view_z,
+                      jnp.inf).astype(jnp.float32)
     _, depth_order = jax.lax.sort_key_val(
         z_key, jnp.arange(m, dtype=jnp.int32), is_stable=True)
 
@@ -338,23 +398,50 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     pt_table = jnp.stack([
         jnp.arange(m, dtype=jnp.float32), px, py, a_s, b, c_s, t_s,
         disc_s, rect_min_x.astype(jnp.float32),
-        rect_max_x.astype(jnp.float32), rect_min_y.astype(jnp.float32),
+        rect_max_x.astype(jnp.float32), row_min_y.astype(jnp.float32),
         n_rows.astype(jnp.float32),
     ], axis=1)
     pt_sorted = jnp.take(pt_table, depth_order, axis=0)
     rows_sorted = pt_sorted[:, 11].astype(jnp.int32)
 
-    # pass all 12 columns (a row-gather's cost is per-index, independent
-    # of K here); rv[:, 11] is just rows_sorted again and is ignored
-    row_owner, row_rank, row_valid, total_rows, rv = expand_with_table(
-        rows_sorted, row_capacity, pt_sorted)
-    row_pt = rv[:, 0].astype(jnp.int32)              # original point index
-    r_px, r_py = rv[:, 1], rv[:, 2]
-    r_a, r_b, r_c, r_t = rv[:, 3], rv[:, 4], rv[:, 5], rv[:, 6]
-    r_disc = jnp.where(row_valid, rv[:, 7], -1.0)
-    r_min_x = rv[:, 8].astype(jnp.int32)
-    r_max_x = rv[:, 9].astype(jnp.int32)
-    r_min_y = rv[:, 10].astype(jnp.int32)
+    ok_windows = jnp.bool_(True)
+    if stream:
+        # Streaming expansion: owners advance monotonically, so a Pallas
+        # window kernel replicates the 12 payload columns at sequential
+        # rates instead of the ~7.5 ns/index random-gather floor.  The
+        # depth key pushed zero-row points to the tail, so counts > 0 form
+        # a contiguous prefix and window 256 is strictly sufficient.
+        from .stream_gather import expand_attrs_windowed
+        interp = jax.default_backend() != "tpu"
+        attrs1 = jnp.pad(pt_sorted.T, ((0, 4), (0, 0)))      # [16, M]
+        sps1 = _sps(row_capacity)
+        # counts > 0 prefix: owners advance <= sps per step, so window =
+        # sps + 128 (alignment) is strictly sufficient
+        av, row_rank, total_rows, ok1 = expand_attrs_windowed(
+            attrs1, rows_sorted, row_capacity,
+            window_items=sps1 + 128, slots_per_step=sps1,
+            interpret=interp)
+        ok_windows &= ok1
+        row_valid = jnp.arange(row_capacity, dtype=jnp.int32) < total_rows
+        row_pt = av[0].astype(jnp.int32)
+        r_px, r_py = av[1], av[2]
+        r_a, r_b, r_c, r_t = av[3], av[4], av[5], av[6]
+        r_disc = jnp.where(row_valid, av[7], -1.0)
+        r_min_x = av[8].astype(jnp.int32)
+        r_max_x = av[9].astype(jnp.int32)
+        r_min_y = av[10].astype(jnp.int32)
+    else:
+        # pass all 12 columns (a row-gather's cost is per-index,
+        # independent of K); rv[:, 11] is rows_sorted again, ignored
+        row_owner, row_rank, row_valid, total_rows, rv = expand_with_table(
+            rows_sorted, row_capacity, pt_sorted)
+        row_pt = rv[:, 0].astype(jnp.int32)          # original point index
+        r_px, r_py = rv[:, 1], rv[:, 2]
+        r_a, r_b, r_c, r_t = rv[:, 3], rv[:, 4], rv[:, 5], rv[:, 6]
+        r_disc = jnp.where(row_valid, rv[:, 7], -1.0)
+        r_min_x = rv[:, 8].astype(jnp.int32)
+        r_max_x = rv[:, 9].astype(jnp.int32)
+        r_min_y = rv[:, 10].astype(jnp.int32)
 
     row_y = r_min_y + row_rank
     min_tile_x, row_tiles = tile_counts_for_rows(
@@ -362,22 +449,44 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         row_y.astype(jnp.float32), float(tile_h), float(tile_w),
         r_min_x, r_max_x)
     row_tiles = jnp.where(row_valid, row_tiles, 0)
-    # row-level payload for expansion 2: ids/coords as exact f32 values
-    row_table = jnp.stack([row_pt.astype(jnp.float32),
-                           row_y.astype(jnp.float32),
-                           min_tile_x.astype(jnp.float32)], axis=1)
-    # Materialization fence: without it XLA fuses the whole gather+sqrt
-    # chain above INTO the cumsum/scatter consumers below and re-evaluates
-    # it per scan pass (~20x recompute; measured 5 ms -> 100 ms).
-    row_table, row_tiles = jax.lax.optimization_barrier(
-        (row_table, row_tiles))
 
     # ---- expansion 2: (point, row) -> (point, row, tile) = table entry ----
-    ent_owner, ent_rank, ent_valid, total_entries, ev = expand_with_table(
-        row_tiles, entry_capacity, row_table)
-    ent_pt = ev[:, 0].astype(jnp.int32)
-    ent_tile = (ev[:, 1].astype(jnp.int32) * tiles_x
-                + ev[:, 2].astype(jnp.int32) + ent_rank)
+    if stream:
+        from .stream_gather import expand_attrs_windowed
+        attrs2 = jnp.stack(
+            [row_pt.astype(jnp.float32), row_y.astype(jnp.float32),
+             min_tile_x.astype(jnp.float32)]
+            + [jnp.zeros((row_capacity,), jnp.float32)] * 5, axis=0)
+        attrs2 = jax.lax.optimization_barrier(attrs2)
+        sps2 = _sps(entry_capacity)
+        # rows are tightened to >= 1 tile each; the +256 slack absorbs any
+        # f32-tangency zero-count stragglers (a window overrun only sets
+        # the overflow flag -- never corrupts)
+        ev2, ent_rank, total_entries, ok2 = expand_attrs_windowed(
+            attrs2, row_tiles, entry_capacity,
+            window_items=sps2 + 256, slots_per_step=sps2,
+            interpret=interp)
+        ok_windows &= ok2
+        ent_valid = (jnp.arange(entry_capacity, dtype=jnp.int32)
+                     < total_entries)
+        ent_pt = ev2[0].astype(jnp.int32)
+        ent_tile = (ev2[1].astype(jnp.int32) * tiles_x
+                    + ev2[2].astype(jnp.int32) + ent_rank)
+    else:
+        # row-level payload: ids/coords as exact f32 values
+        row_table = jnp.stack([row_pt.astype(jnp.float32),
+                               row_y.astype(jnp.float32),
+                               min_tile_x.astype(jnp.float32)], axis=1)
+        # Materialization fence: without it XLA fuses the whole gather+
+        # sqrt chain above INTO the cumsum/scatter consumers below and
+        # re-evaluates it per scan pass (~20x recompute; 5 ms -> 100 ms).
+        row_table, row_tiles = jax.lax.optimization_barrier(
+            (row_table, row_tiles))
+        ent_owner, ent_rank, ent_valid, total_entries, ev = \
+            expand_with_table(row_tiles, entry_capacity, row_table)
+        ent_pt = ev[:, 0].astype(jnp.int32)
+        ent_tile = (ev[:, 1].astype(jnp.int32) * tiles_x
+                    + ev[:, 2].astype(jnp.int32) + ent_rank)
     ent_tile, ent_pt, ent_valid = jax.lax.optimization_barrier(
         (ent_tile, ent_pt, ent_valid))
 
@@ -437,7 +546,8 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         (keys, pts, real), num_keys=1, is_stable=True)
 
     overflow = ((total_rows > row_capacity)
-                | (total_entries > entry_capacity))
+                | (total_entries > entry_capacity)
+                | jnp.logical_not(ok_windows))
     # On overflow the truncated entry set no longer matches the pre-sort
     # counts (segments would misalign and blocks could mix tiles), so the
     # whole table is invalidated: the step renders empty, the flag reports

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import RASTER_BLOCK
+from ..config import RASTER_BLOCK, RASTER_MXU_MODE
 from .raster_jnp import ALPHA_MAX, ALPHA_MIN, T_MIN
 
 G_BLK = RASTER_BLOCK  # gaussians per block (sublane-major)
@@ -58,6 +58,69 @@ PAR_ROWS = 16        # packed per-entry parameter rows
 OUT_ROWS = 8         # output tile rows: rgb, depth, T, (3 spare)
 GRAD_ROWS = 16       # per-entry gradient rows emitted by the backward
 NEG_BIG = 60.0       # -0.5*Q' for padded entries => alpha ~ exp(-30)
+
+# MXU offload mode: which blend-math stages run as MXU matmuls instead of
+# VPU broadcast/reduce passes (measured per-stage on-chip by
+# scripts/microbench_mxu.py; see PERF.md r4).  One flag char per stage:
+#   q: alpha quadratic F[8,G].T @ H[8,P]           (fwd + bwd)
+#   c: transmittance cumprod as exp(Ltri @ log1p)  (fwd + bwd)
+#   a: color accumulation C[4,G] @ W[G,P]          (fwd)
+#   s: suffix cumsum Ltri @ u                      (bwd)
+#   g: g1 = colors.T @ d_col                       (bwd)
+#   d: d_color / w_sum = d_col @ W.T               (bwd)
+#   m: dq moments H @ dq.T                         (bwd)
+MXU_MODE = RASTER_MXU_MODE
+
+_HI = "highest"   # native 6-pass (Mosaic supports DEFAULT and HIGHEST only)
+_MED = "split3"   # manual 3-pass bf16 split (XLA's HIGH, which Mosaic lacks)
+
+
+def _dot(lhs, rhs, dims, precision=jax.lax.Precision.DEFAULT):
+    return jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=((
+            (dims[0],), (dims[1],)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _bf16_split(x, terms: int):
+    """x (f32) -> [terms] bf16 arrays summing to x to ~8*terms mantissa
+    bits (error-free transformation truncated at `terms`)."""
+    parts = []
+    for i in range(terms):
+        p = x.astype(jnp.bfloat16)
+        parts.append(p)
+        if i + 1 < terms:
+            x = x - p.astype(jnp.float32)
+    return parts
+
+
+def _mm(lhs, rhs, dims, precision):
+    """Contract lhs dim dims[0] with rhs dim dims[1] on the MXU, f32 accum.
+
+    precision _HI: native HIGHEST (compiler 3x3-term split, ~f32-exact).
+    precision _MED: manual 3-matmul split (lhs_hi*rhs_hi + lhs_hi*rhs_lo +
+    lhs_lo*rhs_hi) -- products to ~2^-17 relative, the Mosaic-compatible
+    replacement for XLA's Precision.HIGH.
+    """
+    if precision == _HI:
+        return _dot(lhs, rhs, dims, jax.lax.Precision.HIGHEST)
+    lh, ll = _bf16_split(lhs, 2)
+    rh, rl = _bf16_split(rhs, 2)
+    return (_dot(lh, rh, dims) + _dot(lh, rl, dims) + _dot(ll, rh, dims))
+
+
+def _mm_exact_lhs(lhs_exact, rhs, dims, terms: int):
+    """MXU contraction where lhs is EXACT in bf16 (0/1 triangular masks):
+    only rhs splits -- `terms` matmuls capture ~8*terms bits of rhs."""
+    l16 = lhs_exact.astype(jnp.bfloat16)
+    return sum(_dot(l16, r, dims) for r in _bf16_split(rhs, terms))
+
+
+def _ltri(n: int, strict: bool):
+    """[n, n] lower-triangular ones (cumsum-as-matmul operator)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((c < r) if strict else (c <= r)).astype(jnp.float32)
 
 
 def _pixel_features(tile_h: int, tile_w: int):
@@ -108,20 +171,25 @@ def _cumprod_excl_g(x):
     return x
 
 
-def _block_alpha(params_blk, h_feat, count_left):
+def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False):
     """alpha (clamped+thresholded) and raw exp for one gaussian block.
 
     params_blk: [16, G] packed rows (see pack_entry_params).
     Returns (alpha_eff_preT [G, P], alpha_raw [G, P], thresh_ok [G, P]).
 
-    The quadratic is an explicit 6-term broadcast sum on the VPU rather
-    than an MXU matmul: the MXU multiplies in bf16 (and the f32-exact
-    multi-pass mode costs ~6x), while the exponent path needs full f32 --
-    measured ~10% image error otherwise.
+    ``mxu_q``: evaluate the quadratic as ONE [8,G].T@[8,P] MXU contraction
+    at HIGHEST precision (the 6-pass bf16 split = f32-exact to ~2^-21 of
+    the term magnitudes) instead of six VPU broadcast passes.  Rows 6..7 of
+    params_blk are colors, but feature rows 6..7 are exact zeros so they
+    contribute nothing.  Round-1's "~10% image error" data point was the
+    DEFAULT (single-pass bf16) precision, not this.
     """
-    q = 0.0
-    for i in range(6):
-        q = q + params_blk[i:i + 1, :].T * h_feat[i:i + 1, :]   # [G,1]*[1,P]
+    if mxu_q:
+        q = _mm(params_blk[0:8, :], h_feat, (0, 0), _HI)      # [G, P]
+    else:
+        q = 0.0
+        for i in range(6):
+            q = q + params_blk[i:i + 1, :].T * h_feat[i:i + 1, :]
     power = -0.5 * q                             # [G, P]; includes +ln(op)
     g_idx = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, 1), 0)
     in_range = (g_idx < count_left)
@@ -129,6 +197,22 @@ def _block_alpha(params_blk, h_feat, count_left):
     thresh_ok = (alpha_raw >= ALPHA_MIN) & in_range
     alpha = jnp.where(thresh_ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
     return alpha, alpha_raw, thresh_ok
+
+
+def _cumprod_excl(one_m, mxu: bool):
+    """Exclusive cumprod of (1 - alpha) along the gaussian axis.
+
+    VPU path: log-step shift-multiply scan (_cumprod_excl_g, ~14 passes).
+    MXU path: exp(Lstrict @ log1p(-alpha)) -- one [G,G]@[G,P] matmul at
+    HIGH precision (3-pass bf16 split) between two transcendental passes.
+    one_m >= 1/256 always (alpha clamped at 255/256), so log1p is finite;
+    padded entries have alpha == 0 -> log 0 -> factor 1 exactly.
+    """
+    if not mxu:
+        return _cumprod_excl_g(one_m)
+    lg = jnp.log(one_m)                          # finite: one_m >= 1/256
+    # lhs is exact 0/1; 3 rhs terms capture log values to ~2^-24 relative
+    return jnp.exp(_mm_exact_lhs(_ltri(G_BLK, strict=True), lg, (1, 0), 3))
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +230,7 @@ def _block_alpha(params_blk, h_feat, count_left):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
-                has_depth=True):
+                has_depth=True, mxu=MXU_MODE):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     tile = bt_ref[b]
@@ -170,13 +254,12 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
         t_plain = out_ref[0, 5:6, :]
         t_eff = out_ref[0, 4:5, :]
         pb = params_ref[:, :]
-        alpha, _, _ = _block_alpha(pb, h_feat, count_left)
+        alpha, _, _ = _block_alpha(pb, h_feat, count_left, "q" in mxu)
 
-        # exclusive transmittance prefix along depth as a direct f32
-        # cumprod of (1 - alpha) -- shift-multiply scan, no [G, P]
-        # log1p/exp pair (_cumprod_excl_g)
+        # exclusive transmittance prefix along depth (VPU shift-multiply
+        # scan or MXU triangular matmul, see _cumprod_excl)
         one_m = 1.0 - alpha                            # [G, P]
-        t_excl = t_plain * _cumprod_excl_g(one_m)      # plain transmittance
+        t_excl = t_plain * _cumprod_excl(one_m, "c" in mxu)
         active = t_excl > T_MIN
         w = jnp.where(active, alpha * t_excl, 0.0)
 
@@ -184,9 +267,12 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
         # pad (nchan == 3): its output row stays at the is_first zeros
         nch = 4 if has_depth else 3
         colors = pb[6:6 + nch, :]                      # [nch, G] rgb[+depth]
-        acc = jnp.concatenate(
-            [jnp.sum(colors[c:c + 1, :].T * w, axis=0, keepdims=True)
-             for c in range(nch)], axis=0)             # [nch, P] VPU exact
+        if "a" in mxu:
+            acc = _mm(colors, w, (1, 0), _MED)         # [nch, P] MXU
+        else:
+            acc = jnp.concatenate(
+                [jnp.sum(colors[c:c + 1, :].T * w, axis=0, keepdims=True)
+                 for c in range(nch)], axis=0)         # [nch, P] VPU exact
         out_ref[0, 0:nch, :] += acc
 
         # effective (frozen) transmittance bookkeeping: the first plain
@@ -221,7 +307,7 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
 
 def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
                 dt_vmem, dma_sem, *, tile_h, tile_w, has_depth=True,
-                with_stats=True):
+                with_stats=True, mxu=MXU_MODE):
     b = pl.program_id(0)
     tile = bt_ref[b]
     prev = bt_ref[jnp.maximum(b - 1, 0)]
@@ -259,10 +345,11 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         prefix = carry[1:2, :]
 
         pb = params_ref[:, :]
-        alpha, alpha_raw, thresh_ok = _block_alpha(pb, h_feat, count_left)
+        alpha, alpha_raw, thresh_ok = _block_alpha(pb, h_feat, count_left,
+                                                   "q" in mxu)
 
         one_m = 1.0 - alpha
-        t_excl = t_plain * _cumprod_excl_g(one_m)    # f32 shift-mul scan
+        t_excl = t_plain * _cumprod_excl(one_m, "c" in mxu)
         ok = thresh_ok & (t_excl > T_MIN)
         w = jnp.where(ok, alpha * t_excl, 0.0)
 
@@ -270,11 +357,18 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         # d_col[3] == 0, so its g1 term and d_color row vanish
         nch = 4 if has_depth else 3
         colors = pb[6:6 + nch, :]                    # [nch, G]
-        g1 = 0.0                                     # [G, P] (c_i . dC)
-        for c in range(nch):
-            g1 = g1 + colors[c:c + 1, :].T * d_col[c:c + 1, :]
+        if "g" in mxu:
+            g1 = _mm(colors, d_col[0:nch, :], (0, 0), _MED)  # [G, P]
+        else:
+            g1 = 0.0                                 # [G, P] (c_i . dC)
+            for c in range(nch):
+                g1 = g1 + colors[c:c + 1, :].T * d_col[c:c + 1, :]
         u = g1 * w
-        p_incl = prefix + _cumsum_g(u)               # [G, P] inclusive
+        if "s" in mxu:
+            cum_u = _mm_exact_lhs(_ltri(G_BLK, strict=False), u, (1, 0), 2)
+        else:
+            cum_u = _cumsum_g(u)
+        p_incl = prefix + cum_u                      # [G, P] inclusive
 
         d_alpha = jnp.where(
             ok,
@@ -285,32 +379,45 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         dpw = d_alpha * jnp.where(ok, alpha_raw, 0.0)  # d/d(power)
         dq = -0.5 * dpw                                # d/d(quadratic)
 
-        # per-entry reductions: moments + stats as explicit f32
-        # multiply-reduces (VPU); the transposed [16, G] layout is built
-        # directly row by row
-        mom_rows = [jnp.sum(dq * h_feat[i:i + 1, :], axis=1)[None, :]
-                    for i in range(6)]                 # 6 x [1, G]
-        dlnop = jnp.sum(dpw, axis=1)[None, :]
+        # per-entry reductions: [G, P]-to-per-entry sums, either explicit
+        # VPU multiply-reduces or MXU contractions over the pixel axis
         zrow = jnp.zeros((1, G_BLK), jnp.float32)
+        if "m" in mxu:
+            mom8 = _mm(h_feat, dq, (1, 1), _MED)       # [8, G]; rows 6,7 = 0
+            mom_rows = [mom8[i:i + 1, :] for i in range(6)]
+            # sum(dpw) = -2 * sum(dq * 1) = -2 * moment 0 (h row 0 is ones)
+            dlnop = -2.0 * mom8[0:1, :]
+        else:
+            mom_rows = [jnp.sum(dq * h_feat[i:i + 1, :], axis=1)[None, :]
+                        for i in range(6)]             # 6 x [1, G]
+            dlnop = jnp.sum(dpw, axis=1)[None, :]
         if with_stats:
             # fragment statistics (raster.cu:289-301,779-820): only
             # computed on statistics epochs -- three [G, P] reduce passes
             # the steady-state VJP skips
-            w_sum = jnp.sum(w, axis=1)[None, :]
             cnt = jnp.sum(ok.astype(jnp.float32), axis=1)[None, :]
             err2 = jnp.sum(dpw * dpw, axis=1)[None, :]
         else:
-            w_sum, cnt, err2 = zrow, zrow, zrow
-        d_color = jnp.concatenate(
-            [jnp.sum(d_col[c:c + 1, :] * w, axis=1)[None, :]
-             for c in range(nch)]
-            + [zrow] * (4 - nch), axis=0)              # [4, G]
+            cnt, err2 = zrow, zrow
+        if "d" in mxu:
+            ones_row = jnp.ones((1, tile_h * tile_w), jnp.float32)
+            dcw = _mm(jnp.concatenate([d_col[0:nch, :], ones_row], axis=0),
+                      w, (1, 1), _MED)                 # [nch+1, G]
+            d_color = jnp.concatenate(
+                [dcw[0:nch]] + [zrow] * (4 - nch), axis=0)
+            w_sum = dcw[nch:nch + 1] if with_stats else zrow
+        else:
+            d_color = jnp.concatenate(
+                [jnp.sum(d_col[c:c + 1, :] * w, axis=1)[None, :]
+                 for c in range(nch)]
+                + [zrow] * (4 - nch), axis=0)          # [4, G]
+            w_sum = (jnp.sum(w, axis=1)[None, :] if with_stats else zrow)
         grad_ref[:, :] = jnp.concatenate(
             [d_color] + mom_rows + [dlnop, w_sum, cnt, err2,
              jnp.zeros((2, G_BLK), jnp.float32)], axis=0)
 
         carry[0:1, :] = t_excl[G_BLK - 1:G_BLK, :] * one_m[G_BLK - 1:G_BLK, :]
-        carry[1:2, :] = prefix + jnp.sum(u, axis=0, keepdims=True)
+        carry[1:2, :] = p_incl[G_BLK - 1:G_BLK, :]
 
 
 # ---------------------------------------------------------------------------
@@ -413,10 +520,11 @@ def block_tables(table, tiles_total: int):
 
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
                                              "tile_w", "interpret",
-                                             "has_depth"))
+                                             "has_depth", "mxu"))
 def raster_forward_pallas(params, block_tile, block_cnt,
                           tiles_total: int, tile_h: int, tile_w: int,
-                          interpret: bool = False, has_depth: bool = True):
+                          interpret: bool = False, has_depth: bool = True,
+                          mxu: str = MXU_MODE):
     """Run the forward kernel.
 
     Returns out_tiles [T + 1, 8, 128]; rows of tiles with no entries are
@@ -434,7 +542,7 @@ def raster_forward_pallas(params, block_tile, block_cnt,
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w,
-                               has_depth=has_depth)
+                               has_depth=has_depth, mxu=mxu)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -446,11 +554,12 @@ def raster_forward_pallas(params, block_tile, block_cnt,
 
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
                                              "tile_w", "interpret",
-                                             "has_depth", "with_stats"))
+                                             "has_depth", "with_stats",
+                                             "mxu"))
 def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
                            tiles_total: int, tile_h: int, tile_w: int,
                            interpret: bool = False, has_depth: bool = True,
-                           with_stats: bool = True):
+                           with_stats: bool = True, mxu: str = MXU_MODE):
     """Run the backward kernel. Returns per-entry grads [16, E].
 
     dtiles: [T + 1, 8, 128] with rows 0..3 = upstream d(color/depth),
@@ -480,7 +589,8 @@ def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
         ],
     )
     kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w,
-                               has_depth=has_depth, with_stats=with_stats)
+                               has_depth=has_depth, with_stats=with_stats,
+                               mxu=mxu)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

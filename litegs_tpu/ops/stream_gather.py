@@ -138,6 +138,126 @@ def expand_attrs(attrs, counts, out_len: int, interpret: bool = False):
     return out, rank[0], total
 
 
+def _window_gather_k(blocks, idx, nblk: int):
+    """out[:, j] = window[:, idx[0, j]] for an (nblk*128)-wide window given
+    as nblk 128-lane pieces (hardware lane gather is one vreg wide)."""
+    a = blocks[0].shape[0]
+    w = idx.shape[1]
+    out = jnp.take_along_axis(
+        blocks[0], jnp.broadcast_to(jnp.clip(idx, 0, BLK - 1), (a, w)),
+        axis=1)
+    for k in range(1, nblk):
+        g = jnp.take_along_axis(
+            blocks[k],
+            jnp.broadcast_to(jnp.clip(idx - k * BLK, 0, BLK - 1), (a, w)),
+            axis=1)
+        out = jnp.where(jnp.broadcast_to(idx >= k * BLK, (a, w)), g, out)
+    return out
+
+
+def _expand_kernel_w(blo_ref, *refs, nblk: int, slots: int):
+    """Windowed expansion: nblk attr blocks + nblk start blocks in, one
+    [A, slots] out block + ranks."""
+    attr_blocks = refs[:nblk]
+    start_blocks = refs[nblk:2 * nblk]
+    out_ref, rank_ref = refs[2 * nblk], refs[2 * nblk + 1]
+    b = pl.program_id(0)
+    slot0 = b * slots
+    slot_ids = (slot0
+                + jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1))
+    starts = jnp.concatenate([s[:, :] for s in start_blocks],
+                             axis=0)                    # [nblk*128, 1]
+    leq = starts <= slot_ids                            # [nblk*128, slots]
+    cnt = jnp.sum(leq.astype(jnp.int32), axis=0, keepdims=True)
+    owner_local = jnp.clip(cnt - 1, 0, nblk * BLK - 1)
+    start_at = jnp.max(jnp.where(leq, jnp.broadcast_to(starts, leq.shape),
+                                 jnp.int32(-1)), axis=0, keepdims=True)
+    rank_ref[:, :] = slot_ids - start_at
+    out_ref[:, :] = _window_gather_k([a[:, :] for a in attr_blocks],
+                                     owner_local, nblk)
+
+
+@functools.partial(jax.jit, static_argnames=("out_len", "window_items",
+                                             "slots_per_step", "interpret"))
+def expand_attrs_windowed(attrs, counts, out_len: int,
+                          window_items: int = 256,
+                          slots_per_step: int = 256,
+                          interpret: bool = False):
+    """Replicate per-item attribute rows into flat expansion slots, with a
+    parametric item window and multi-block output steps.
+
+    Unlike :func:`expand_attrs`, zero-count items may appear ANYWHERE (the
+    owner decode skips them); the guarantee is instead checked: ``ok`` is
+    False iff some output step's owners span more than the window covers
+    (callers treat !ok as overflow -- the step no-ops and is retried, the
+    same never-truncate discipline as capacity overflow).  With counts > 0
+    forming a contiguous prefix, window_items=256 is strictly sufficient.
+
+    Args:
+      attrs:  [A, S] f32 per-item rows (A a multiple of 8).
+      counts: [S] int32 per-item slot counts (>= 0).
+      out_len: static output slots (multiple of slots_per_step).
+      window_items: static item-window width (multiple of 128).
+      slots_per_step: output slots per grid step (multiple of 128).
+    Returns:
+      (out [A, out_len], rank [out_len] int32, total scalar int32,
+       ok scalar bool).  Slots past ``total`` hold arbitrary values.
+    """
+    from . import scan as _scan
+    a, s = attrs.shape
+    assert a % 8 == 0 and out_len % slots_per_step == 0
+    assert window_items % BLK == 0
+    nblk = window_items // BLK + 1     # +1 covers unaligned window starts
+    counts = jax.lax.optimization_barrier(counts.astype(jnp.int32))
+    cum = _scan.cumsum(counts)
+    total = cum[-1]
+    starts = cum - counts
+    nsteps = out_len // slots_per_step
+    step0 = jnp.arange(nsteps, dtype=jnp.int32) * slots_per_step
+    # clamp queries to the live slot range: slots past `total` have no
+    # owner (owner_of_slots would return the padded tail) and their output
+    # is arbitrary by contract
+    last_live = jnp.maximum(total - 1, 0)
+    blk_lo = owner_of_slots(cum, jnp.minimum(step0, last_live))
+    blk_hi = owner_of_slots(
+        cum, jnp.minimum(step0 + (slots_per_step - 1), last_live))
+    # the window anchored at floor(lo/128)*128 spans nblk*128 items
+    ok = jnp.all(blk_hi - blk_lo <= (nblk - 1) * BLK)
+
+    s_pad = _round_up(s, BLK) + nblk * BLK
+    attrs_p = jnp.pad(attrs, ((0, 0), (0, s_pad - s)))
+    starts_t = jnp.pad(starts, (0, s_pad - s),
+                       constant_values=INT_BIG)[:, None]   # [s_pad, 1]
+
+    in_specs = (
+        [pl.BlockSpec((a, BLK),
+                      (lambda b, lo, _k=k: (0, lo[b] // BLK + _k)),
+                      memory_space=pltpu.VMEM) for k in range(nblk)]
+        + [pl.BlockSpec((BLK, 1),
+                        (lambda b, lo, _k=k: (lo[b] // BLK + _k, 0)),
+                        memory_space=pltpu.VMEM) for k in range(nblk)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((a, slots_per_step), lambda b, lo: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, slots_per_step), lambda b, lo: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out, rank = pl.pallas_call(
+        functools.partial(_expand_kernel_w, nblk=nblk,
+                          slots=slots_per_step),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((a, out_len), jnp.float32),
+                   jax.ShapeDtypeStruct((1, out_len), jnp.int32)),
+        interpret=interpret,
+    )(blk_lo, *([attrs_p] * nblk), *([starts_t] * nblk))
+    return out, rank[0], total, ok
+
+
 def _monotonic_kernel(slo_ref, attrs0, attrs1, out_ref):
     b = pl.program_id(0)
     src_lo = slo_ref[b]
