@@ -93,6 +93,13 @@ def shard_camera_batch(mesh: Mesh, *arrays):
     return tuple(out)
 
 
+def unit_weights(mesh: Mesh):
+    """All-ones per-chip gradient weights (no padding slots), sharded."""
+    d = int(mesh.devices.size)
+    (w,) = shard_camera_batch(mesh, jnp.ones((d,), jnp.float32))
+    return w
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
@@ -109,10 +116,17 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     """Build the jitted multi-chip train step.
 
     The returned function takes ``(state, stats, chunk_origin, chunk_extend,
-    view[D,4,4], proj[D,4,4], planes[D,6,4], center[D,3], gt[D,3,H,W])``
-    where D = mesh size, with camera tensors sharded over ``data`` and
-    everything else replicated; it returns (state, stats, metrics) with the
-    same replicated placement.
+    view[D,4,4], proj[D,4,4], planes[D,6,4], center[D,3], gt[D,3,H,W],
+    weight[D])`` where D = mesh size, with camera tensors sharded over
+    ``data`` and everything else replicated; it returns (state, stats,
+    metrics) with the same replicated placement.
+
+    ``weight``: per-chip gradient weights (normally all 1).  A 0 marks a
+    PADDING slot -- when the frame count is not a multiple of D the last
+    step group pads with duplicate frames, and their gradients, stats,
+    chunk-visibility, overflow votes and metrics must not count (the
+    weighted psum-mean with w=0 reproduces the exact F-frame epoch
+    semantics of the reference's one-view-per-step loop).
 
     ``sharded_stats``: keep the densification statistics accumulators
     sharded over the primitive axis (P('data')) and merge each step's
@@ -132,10 +146,12 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     use_sink = collect_stats and pp.raster_backend == "pallas"
 
     def shard_fn(state: TrainState, stats, chunk_origin, chunk_extend,
-                 view, proj, planes, center, gt_image):
+                 view, proj, planes, center, gt_image, weight):
         # local leading axis is 1 (one camera per chip)
         view, proj = view[0], proj[0]
         planes, center, gt_image = planes[0], center[0], gt_image[0]
+        w = weight[0]                      # 0.0 marks a padding slot
+        live = w > 0.0
 
         def loss_fn(params, sink=None):
             culled = render_preprocess(params, chunk_origin, chunk_extend,
@@ -159,14 +175,17 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             (loss, (out, culled)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
 
-        # gradient all-reduce over ICI (replicated-param data parallelism)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
+        # gradient all-reduce over ICI (replicated-param data parallelism):
+        # weighted mean so padding slots contribute exactly nothing
+        wsum = jax.lax.psum(w, DATA_AXIS)  # >= 1 (a group has >= 1 live)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g * w, DATA_AXIS) / wsum, grads)
+        loss = jax.lax.psum(loss * w, DATA_AXIS) / wsum
 
         chunk_mask = cluster.scatter_chunk_mask(
             culled.chunk_ids, culled.num_visible_chunks, nchunks)
-        chunk_mask = jax.lax.pmax(chunk_mask.astype(jnp.int32),
-                                  DATA_AXIS) > 0
+        chunk_mask = jax.lax.pmax(
+            (chunk_mask & live).astype(jnp.int32), DATA_AXIS) > 0
 
         lrs = LearningRates.from_config(op, spatial_lr_scale, state.step)
         if lr_scale != 1.0:
@@ -178,10 +197,12 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
         new_params, new_adam = sparse_adam_step(
             state.params, grads, state.adam, lrs, chunk_mask, chunk_size)
 
-        # overflow-safe stepping (any chip truncating => global no-op; see
-        # trainer.make_train_step) -- the mean gradient already mixes every
-        # chip's contribution, so one truncated view poisons all of it
-        overflow = jax.lax.pmax(out.overflow.astype(jnp.int32),
+        # overflow-safe stepping (any LIVE chip truncating => global no-op;
+        # see trainer.make_train_step) -- the mean gradient already mixes
+        # every live chip's contribution, so one truncated view poisons all
+        # of it.  A padding slot's overflow is moot: its weight is 0, so
+        # its (truncated) gradient never enters the mean.
+        overflow = jax.lax.pmax((out.overflow & live).astype(jnp.int32),
                                 DATA_AXIS) > 0
 
         def keep_old(new, old):
@@ -225,6 +246,8 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             delta = statistics.update_stats(
                 zero, culled.chunk_ids, culled.valid,
                 out.primitive_visible, rstats, chunk_size)
+            # padding slots must not pollute the accumulators
+            delta = jax.tree.map(lambda x: x * w.astype(x.dtype), delta)
             if sharded_stats:
                 from . import densify as pdensify
                 new_stats = pdensify.scatter_stats_update(stats, delta)
@@ -233,9 +256,14 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 new_stats = jax.tree.map(jnp.add, stats, delta)
             stats = keep_old(new_stats, stats)
 
-        psnr = jax.lax.pmean(losses.psnr(out.img, gt_image), DATA_AXIS)
+        psnr = jax.lax.psum(losses.psnr(out.img, gt_image) * w,
+                            DATA_AXIS) / wsum
+        # per-chip sizes allgathered (not pmax'd): the trainer's per-frame
+        # capacity feedback needs each frame's own observation
         metrics = {"loss": loss, "psnr": psnr, "overflow": overflow,
-                   "sizes": jax.lax.pmax(out.sizes, DATA_AXIS)}
+                   "sizes": jax.lax.all_gather(out.sizes, DATA_AXIS),
+                   "chip_overflow": jax.lax.all_gather(
+                       out.overflow & live, DATA_AXIS)}
         return new_state, stats, metrics
 
     rep = P()
@@ -244,7 +272,7 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                   if sharded_stats else rep)
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(rep, stats_spec, rep, rep, cam, cam, cam, cam, cam),
+        in_specs=(rep, stats_spec, rep, rep, cam, cam, cam, cam, cam, cam),
         out_specs=(rep, stats_spec, rep),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0, 1))

@@ -16,6 +16,10 @@ Layout per device (D devices, capacity N):
   * selection compute [N/D]: score, gumbel keys, bisection counts,
   * allgathered       selection/prune masks (N bits each) + scalars.
 
+Both controller modes are supported: taming (budgeted Gumbel-top-k) and
+official (grad-threshold, original-3DGS) -- each proven bit-identical to
+its replicated counterpart (tests/test_parallel_densify.py).
+
 The distributed top-k is *exact and deterministic*: keys are bisected in
 their monotone uint32 bit image (32 psum'd count rounds, one scalar psum
 each -- no key allgather), with ties broken by lowest global index --
@@ -134,21 +138,43 @@ def _make_select_fn(mesh: Mesh, dp: DensifyParams, densify_until: int,
 
         prune_local = dens.get_prune_mask(params_local, stats,
                                           active_local, dp)
-        prune_num = jax.lax.psum(jnp.sum(prune_local, dtype=jnp.int32),
-                                 DATA_AXIS)
-        budget = dens.taming_budget(prune_num, active_count, epoch, dp,
-                                    densify_until, init_points_num,
-                                    chunk_size, capacity)
-        score_local = dens.get_score(params_local, stats, active_local)
-        # identical [capacity] gumbel vector as the replicated path
-        # (taming_sample_keys with score == 1 is the pure gumbel), sliced
-        gumbel_local = sl(dens.taming_sample_keys(
-            jnp.ones((capacity,)), key, capacity))
-        key_local = jnp.where(score_local > 0,
-                              jnp.log(score_local) + gumbel_local,
-                              -jnp.inf)
-
-        sel_local = sharded_topk_mask(key_local, budget)
+        if dp.densify_mode == "official":
+            # original-3DGS criterion (training/densify.py:149-157): mean
+            # NDC grad norm >= threshold, selected in INDEX order up to the
+            # chunk-trimmed capacity headroom.  Global rank = psum'd shard
+            # prefix + local cumsum, bit-identical to the replicated
+            # cumsum-based rank.
+            mean_grad = statistics.mean_grad_norm(stats)
+            want_local = ((mean_grad >= dp.densify_grad_threshold)
+                          & active_local)
+            n_want_local = jnp.sum(want_local, dtype=jnp.int32)
+            total_want = jax.lax.psum(n_want_local, DATA_AXIS)
+            budget = jnp.minimum(total_want, capacity - active_count)
+            budget = (budget // chunk_size) * chunk_size
+            axis_idx = jax.lax.axis_index(DATA_AXIS)
+            n_dev = jax.lax.axis_size(DATA_AXIS)
+            per_shard = jax.lax.all_gather(n_want_local, DATA_AXIS)
+            prefix = jnp.sum(jnp.where(jnp.arange(n_dev) < axis_idx,
+                                       per_shard, 0))
+            rank_local = prefix + jnp.cumsum(
+                want_local.astype(jnp.int32)) - 1
+            sel_local = want_local & (rank_local < budget)
+        else:
+            prune_num = jax.lax.psum(jnp.sum(prune_local, dtype=jnp.int32),
+                                     DATA_AXIS)
+            budget = dens.taming_budget(prune_num, active_count, epoch, dp,
+                                        densify_until, init_points_num,
+                                        chunk_size, capacity)
+            score_local = dens.get_score(params_local, stats, active_local)
+            # identical [capacity] gumbel vector as the replicated path
+            # (taming_sample_keys with score == 1 is the pure gumbel),
+            # sliced
+            gumbel_local = sl(dens.taming_sample_keys(
+                jnp.ones((capacity,)), key, capacity))
+            key_local = jnp.where(score_local > 0,
+                                  jnp.log(score_local) + gumbel_local,
+                                  -jnp.inf)
+            sel_local = sharded_topk_mask(key_local, budget)
         selected = jax.lax.all_gather(sel_local, DATA_AXIS, tiled=True)
         prune_full = jax.lax.all_gather(prune_local, DATA_AXIS, tiled=True)
         return selected, prune_full

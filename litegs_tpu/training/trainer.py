@@ -216,6 +216,101 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     return jax.jit(step, donate_argnums=donate)
 
 
+def make_batch_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
+                          pp: cfg.PipelineParams, caps: cfg.CapacityParams,
+                          img_h: int, img_w: int, spatial_lr_scale: float,
+                          sh_degree: int, batch_views: int,
+                          collect_stats: bool, interpret: bool = False):
+    """Jitted step consuming B views through ONE raster launch.
+
+    The reference plumbs a batch axis through every kernel (raster.cu:182,
+    B always 1 in its trainer); here B>1 amortizes the fixed per-dispatch
+    costs of the many small binning/pack ops and lengthens the kernel
+    grids (render_batch).  Semantics: ONE optimizer update from the mean
+    gradient of B views -- identical to the mesh data-parallel step
+    (parallel/__init__.py) with D=B on a single chip, including the
+    union visibility mask and the all-views-poisoned overflow no-op.
+    Pose refinement is not plumbed (B>1 is the throughput path).
+    """
+    from ..render import render_batch
+    b = batch_views
+    chunk_size = pp.cluster_size
+    use_sink = collect_stats and pp.raster_backend == "pallas"
+    assert pp.raster_backend == "pallas", "batched step is pallas-only"
+
+    def step(state: TrainState, stats: statistics.StatsState,
+             chunk_origin, chunk_extend, views, projs, planes, centers,
+             gt_images):
+        def loss_fn(params, sink=None):
+            culled = [render_preprocess(params, chunk_origin, chunk_extend,
+                                        planes[v], centers[v], sh_degree,
+                                        pp, caps) for v in range(b)]
+            out = render_batch(culled, [views[v] for v in range(b)],
+                               [projs[v] for v in range(b)], img_h, img_w,
+                               pp, caps, interpret=interpret,
+                               stats_sink=sink)
+            loss = 0.0
+            for v in range(b):
+                lv = losses.fused_l1_ssim_loss(out.imgs[v], gt_images[v],
+                                               op.lambda_dssim)
+                if op.reg_weight > 0.0:
+                    lv = lv + jnp.mean(culled[v].scale ** 2) * op.reg_weight
+                if pp.enable_transmitance:
+                    lv = lv + jnp.mean(jnp.abs(1.0 - out.transmitance[v]))
+                loss = loss + lv
+            return loss / b, (out, culled)
+
+        sink0 = (raster_ops.zero_stats_sink(b * caps.visible_capacity)
+                 if use_sink else None)
+        g_sink = None
+        if use_sink:
+            (loss, (out, culled)), (grads, g_sink) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(state.params, sink0)
+        else:
+            (loss, (out, culled)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+
+        nchunks = caps.primitive_capacity // chunk_size
+        chunk_mask = jnp.zeros((nchunks,), bool)
+        for v in range(b):
+            chunk_mask |= cluster.scatter_chunk_mask(
+                culled[v].chunk_ids, culled[v].num_visible_chunks, nchunks)
+        lrs = LearningRates.from_config(op, spatial_lr_scale, state.step)
+        new_params, new_adam = sparse_adam_step(
+            state.params, grads, state.adam, lrs, chunk_mask, chunk_size)
+
+        overflow = out.overflow
+
+        def keep_old(new, old):
+            return jax.tree.map(
+                lambda a, bb: jnp.where(overflow, bb, a), new, old)
+
+        new_params = keep_old(new_params, state.params)
+        new_adam = keep_old(new_adam, state.adam)
+        new_state = TrainState(
+            params=new_params, adam=new_adam,
+            active_count=state.active_count,
+            step=state.step + jnp.where(overflow, 0, 1))
+
+        if collect_stats:
+            mv = caps.visible_capacity
+            new_stats = stats
+            for v in range(b):
+                rv = jax.tree.map(lambda x: x[v * mv:(v + 1) * mv], g_sink)
+                new_stats = statistics.update_stats(
+                    new_stats, culled[v].chunk_ids, culled[v].valid,
+                    out.primitive_visible[v], rv, chunk_size)
+            stats = keep_old(new_stats, stats)
+
+        psnr = sum(losses.psnr(out.imgs[v], gt_images[v])
+                   for v in range(b)) / b
+        metrics = {"loss": loss, "psnr": psnr, "overflow": overflow,
+                   "sizes": out.sizes}
+        return new_state, stats, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_eval_render(pp: cfg.PipelineParams, caps: cfg.CapacityParams,
                      img_h: int, img_w: int, sh_degree: int,
                      interpret: bool = False):
@@ -229,6 +324,60 @@ def make_eval_render(pp: cfg.PipelineParams, caps: cfg.CapacityParams,
         return out.img, out.overflow
 
     return jax.jit(eval_render)
+
+
+class SizeFeedback:
+    """Per-frame capacity-feedback signal: running maxima of each frame's
+    observed (visible primitives, rows, entries), trend-extrapolated.
+
+    The reference predicts buffer sizes from the previous epoch's value for
+    the SAME camera with a 1.2x/1.5x margin (compact.cu:527-551,
+    binning.cu:137-169; FramesBuffer is per-frame, data.py:236-245).  Early
+    training grows per-view sizes 10-20%/epoch (splats expand from the knn
+    init), so last-epoch maxima under-predict; extrapolating one epoch
+    ahead at the observed per-frame growth rate (clamped to 1.5x, the
+    reference's binning slack) absorbs the drift while staying tight once
+    sizes plateau.  Never shrinks: a transiently small epoch must not
+    thrash compiles.  Shared by the single-chip and mesh trainers.
+    """
+
+    def __init__(self, n_frames: int):
+        self.n_frames = n_frames
+        self.feedback = None        # np [F, 3] int64, None until seeded
+        self._last = {}
+
+    def observe(self, frame_ids, sizes: np.ndarray):
+        """Record one epoch's per-frame observations ([k] ids, [k,3])."""
+        if self.feedback is None:
+            # seed every frame with the global max (frames not in this
+            # id list have no observation yet)
+            self.feedback = np.broadcast_to(
+                sizes.max(axis=0), (self.n_frames, 3)).copy()
+        for i, s in zip(frame_ids, sizes):
+            i = int(i)
+            prev = self._last.get(i)
+            pred = s
+            if prev is not None:
+                g = np.clip(s / np.maximum(prev, 1), 1.0, 1.5)
+                pred = (s * g).astype(np.int64)
+            self._last[i] = s
+            self.feedback[i] = np.maximum(self.feedback[i], pred)
+
+    def predict(self, frame_ids) -> Optional[np.ndarray]:
+        """Max predicted (visible, rows, entries) over a group of frames;
+        None before the first observation."""
+        if self.feedback is None:
+            return None
+        ids = [int(i) for i in np.atleast_1d(frame_ids)]
+        return self.feedback[ids].max(axis=0)
+
+    def scale(self, growth: float):
+        """Densification grows every per-view size roughly with the
+        primitive count; scale the feedback so the next epoch's capacity
+        bucket anticipates it instead of overflowing."""
+        if self.feedback is not None:
+            self.feedback = (self.feedback.astype(np.float64)
+                             * max(growth, 1.0)).astype(np.int64)
 
 
 @dataclasses.dataclass
@@ -260,13 +409,13 @@ class Trainer:
         self._eval_cache = {}
         self.key = jax.random.PRNGKey(self.seed)
         self.overflow_count = 0
-        # capacity feedback [n_frames, 3]: per-frame running maxima of
-        # (visible primitives, rows, entries); None until the first epoch
-        # (the reference's per-camera FramesBuffer, data.py:236-245)
-        self.size_feedback = None
+        # capacity feedback: per-frame running maxima of (visible
+        # primitives, rows, entries) with trend extrapolation (see
+        # SizeFeedback; the reference's per-camera FramesBuffer,
+        # data.py:236-245)
+        self.size_feedback = SizeFeedback(self.n_frames)
         self.overflow_last_epoch = False
         self._post_densify = False
-        self._last_sizes = {}
         self.pose_state = None
         # per-tile max blend count over the last statistics epoch (the
         # reference's tile-complexity telemetry; on TPU the raster grid is
@@ -324,9 +473,10 @@ class Trainer:
         grid, so a handful of step variants serve all cameras and light
         frames don't pay the heaviest frame's padding.
         """
-        if not self.pp.adaptive_capacity or self.size_feedback is None:
+        pred = self.size_feedback.predict(frame)
+        if not self.pp.adaptive_capacity or pred is None:
             return self.caps
-        vis, rows, ents = (int(x) for x in self.size_feedback[frame])
+        vis, rows, ents = (int(x) for x in pred)
         # Steady-state margin is tight (capacity-scale work is pure
         # overhead), but the first epoch after a densify step gets a
         # cushion: new points cluster in dense regions, so per-view sizes
@@ -395,28 +545,7 @@ class Trainer:
         if "tile_count" in got[0]:
             self.tile_blend_max = np.max(
                 np.stack([g["tile_count"] for g in got]), axis=0)
-        if self.size_feedback is None:
-            # first epoch: seed every frame with the global max (frames
-            # not in this epoch's id list have no observation yet)
-            self.size_feedback = np.broadcast_to(
-                sizes.max(axis=0), (self.n_frames, 3)).copy()
-        # Per-frame feedback = running max of TREND-EXTRAPOLATED sizes:
-        # early training grows per-view sizes 10-20%/epoch (splats expand
-        # from the knn init), so last-epoch maxima under-predict and a
-        # tight margin would overflow.  Extrapolating one epoch ahead at
-        # the observed per-frame growth rate (clamped to 1.5x, the
-        # reference's binning slack, binning.cu:152) absorbs the drift
-        # while staying tight once sizes plateau.  Never shrink: a
-        # transiently small epoch must not thrash compiles.
-        for i, s in zip(frame_ids, sizes):
-            i = int(i)
-            prev = self._last_sizes.get(i)
-            pred = s
-            if prev is not None:
-                g = np.clip(s / np.maximum(prev, 1), 1.0, 1.5)
-                pred = (s * g).astype(np.int64)
-            self._last_sizes[i] = s
-            self.size_feedback[i] = np.maximum(self.size_feedback[i], pred)
+        self.size_feedback.observe(frame_ids, sizes)
 
         # Overflowed frames had their update skipped (overflow-safe step);
         # retrain them with re-bucketed capacities so no iteration ever
@@ -444,14 +573,8 @@ class Trainer:
             self.spatial_lr_scale, self.pp.cluster_size)
         if did:
             stats = statistics.init_stats(self.caps.primitive_capacity)
-            if self.size_feedback is not None and old_active > 0:
-                # densification grows every per-view size roughly with the
-                # primitive count; scale the feedback so the next epoch's
-                # capacity bucket anticipates it instead of overflowing
-                growth = max(int(active) / old_active, 1.0)
-                self.size_feedback = (
-                    self.size_feedback.astype(np.float64) * growth
-                ).astype(np.int64)
+            if old_active > 0:
+                self.size_feedback.scale(int(active) / old_active)
             self._post_densify = True
         state = TrainState(params=params, adam=adam, active_count=active,
                            step=state.step)

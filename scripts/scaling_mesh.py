@@ -91,13 +91,15 @@ def main():
         step = parallel.make_parallel_train_step(
             lp, op_, pp, caps, img_h, img_w, 1.0, sh_degree,
             collect_stats=False, mesh=mesh)
+        wt = parallel.unit_weights(mesh)
 
         if d == 8:
             lowered = jax.jit(step.__wrapped__
                               if hasattr(step, "__wrapped__") else step)
             try:
                 txt = step.lower(state, stats, origin, extend, view, proj,
-                                 planes, center, gt).compile().as_text()
+                                 planes, center, gt,
+                                 wt).compile().as_text()
                 n_start = txt.count("all-reduce-start")
                 n_plain = txt.count(" all-reduce(")
                 hlo_overlap = {"all_reduce_start_done_pairs": n_start,
@@ -106,12 +108,12 @@ def main():
                 hlo_overlap = {"error": str(e)}
 
         state, stats, m = step(state, stats, origin, extend, view, proj,
-                               planes, center, gt)
+                               planes, center, gt, wt)
         _ = float(m["loss"])
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, stats, m = step(state, stats, origin, extend, view,
-                                   proj, planes, center, gt)
+                                   proj, planes, center, gt, wt)
         _ = float(m["loss"])
         dt = (time.perf_counter() - t0) / n_iters
         rows.append((d, dt))

@@ -55,7 +55,7 @@ def _run_parallel(n_dev, collect):
         lp, op_, pp, caps, img_h, img_w, spatial_lr_scale=1.0,
         sh_degree=sh_degree, collect_stats=collect, mesh=mesh)
     return step_fn(state, stats, origin, extend, view, proj, planes,
-                   center, gt)
+                   center, gt, parallel.unit_weights(mesh))
 
 
 def test_parallel_step_runs_8dev():
