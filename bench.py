@@ -184,6 +184,49 @@ def main():
                           "vs_baseline": round(mpix / 245.0, 4)}))
         return
 
+    bviews = int(os.environ.get("BENCH_B", "1"))
+    if bviews > 1:
+        # B views per optimizer step through ONE raster launch
+        # (make_batch_train_step); reports it/s-per-VIEW so numbers stay
+        # comparable with the reference's one-view-per-iter loop
+        from litegs_tpu.training.trainer import make_batch_train_step
+        assert n_frames % bviews == 0
+        bstep = make_batch_train_step(
+            lp, op_, pp, caps, img_h, img_w, spatial_lr_scale=1.0,
+            sh_degree=sh_degree, batch_views=bviews,
+            collect_stats=False, interpret=interp)
+
+        def runb(i):
+            nonlocal state, stats
+            f = (i * bviews) % n_frames
+            sl = slice(f, f + bviews)
+            state, stats, metrics = bstep(
+                state, stats, origin, extend, batch.view[sl],
+                batch.proj[sl], batch.planes[sl], batch.center[sl],
+                batch.images[sl])
+            return metrics
+
+        m = runb(0)
+        _readback(state)
+        overflow = bool(m["overflow"])
+        for i in range(1, n_frames // bviews + 1):
+            m = runb(i)
+        _readback(state)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            m = runb(i)
+        _readback(state)
+        elapsed = time.perf_counter() - t0
+        vps = n_iters * bviews / elapsed
+        print(f"[bench] B={bviews}: {elapsed / n_iters * 1e3:.1f} ms/step "
+              f"({bviews} views) = {vps:.2f} views/s, "
+              f"overflow={overflow}", file=sys.stderr)
+        print(json.dumps({"metric": "train_views_per_sec",
+                          "value": round(vps, 2), "unit": "views/s",
+                          "vs_baseline": round(
+                              vps / BASELINE_ITERS_PER_SEC, 4)}))
+        return
+
     t0 = time.perf_counter()
     for i in range(n_iters):
         m = run(i)

@@ -52,6 +52,42 @@ class BinningResult(NamedTuple):
     overflow: jax.Array        # scalar bool: any capacity exceeded
 
 
+def concat_tables(tables, tiles_total: int, m: int) -> BinningResult:
+    """Merge B per-view tile tables into ONE table over a B*T tile grid.
+
+    The batched raster path (reference batch axis ``B``, raster.cu:182):
+    view v's tiles shift to [v*T, (v+1)*T), its point ids to [v*m,
+    (v+1)*m), and its entries keep their slots at offset v*E_len -- the
+    result is a valid BinningResult for ONE rasterize() call over B*T
+    tiles (blocks stay single-tile, per-tile depth order is untouched,
+    padding entries map to the global pad id B*T).  One kernel launch and
+    one entry pack/reduce then serve all B views, amortizing their fixed
+    costs; the per-point reduce yields [*, B*m] gradients whose cotangent
+    splits back through each view's projection chain.
+    """
+    b = len(tables)
+    e_len = tables[0].sorted_point.shape[0]
+    sp, st, ev, ts, tc, pv, pc = [], [], [], [], [], [], []
+    for v, t in enumerate(tables):
+        sp.append(t.sorted_point + v * m)
+        st.append(jnp.where(t.sorted_tile >= tiles_total,
+                            b * tiles_total, t.sorted_tile + v * tiles_total))
+        ev.append(t.entry_valid)
+        ts.append(t.tile_start + v * e_len)
+        tc.append(t.tile_count)
+        pv.append(t.primitive_visible)
+        pc.append(t.point_counts)
+    cat = jnp.concatenate
+    return BinningResult(
+        sorted_point=cat(sp), sorted_tile=cat(st), entry_valid=cat(ev),
+        tile_start=cat(ts), tile_count=cat(tc),
+        num_entries=sum(t.num_entries for t in tables),
+        num_aligned=sum(t.num_aligned for t in tables),
+        num_rows=sum(t.num_rows for t in tables),
+        primitive_visible=cat(pv), point_counts=cat(pc),
+        overflow=jnp.any(jnp.stack([t.overflow for t in tables])))
+
+
 def expand_by_counts(counts, capacity: int):
     """Decode flat slots of a variable-length concatenation.
 
@@ -325,12 +361,15 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
       img_h..tile_w: static image/tile geometry.
       row_capacity / entry_capacity: static expansion capacities.
       stream: run the two expansions as streaming Pallas window kernels
-        (default config.BINNING_STREAM); a window overrun sets the
+        (default config.BINNING_STREAM, on TPU backends only -- off-TPU
+        the kernels run in interpret mode, whose callback machinery
+        breaks inside shard_map, so the config default never engages it
+        there; tests opt in explicitly); a window overrun sets the
         overflow flag (same no-op-and-retry discipline as capacity
         overflow), which the tightened row emission makes ~impossible.
     """
     if stream is None:
-        stream = BINNING_STREAM
+        stream = BINNING_STREAM and jax.default_backend() == "tpu"
     m = ndc.shape[-1]
     tiles_x = math.ceil(img_w / tile_w)
     tiles_y = math.ceil(img_h / tile_h)

@@ -116,7 +116,8 @@ def reduce_entries_to_points(cols, table: BinningResult, m: int):
 
 def build_cache(mean_pix, inv_cov, color4, opacity, table: BinningResult,
                 tiles_total: int, tiles_x: int, tile_h: int,
-                tile_w: int, has_depth: bool = True) -> RasterCache:
+                tile_w: int, has_depth: bool = True,
+                tiles_y: int = 0) -> RasterCache:
     sg = jax.lax.stop_gradient
     # skip gathering the depth row when it is a zero pad (gathers are the
     # dominant cost of packing)
@@ -124,7 +125,7 @@ def build_cache(mean_pix, inv_cov, color4, opacity, table: BinningResult,
     packed = raster_pallas.pack_entry_params(
         sg(mean_pix), sg(inv_cov), sg(color4[:3]), sg(opacity),
         depth, table.sorted_point, table.sorted_tile,
-        table.entry_valid, tiles_x, tile_h, tile_w)
+        table.entry_valid, tiles_x, tile_h, tile_w, tiles_y=tiles_y)
     bt, bc = raster_pallas.block_tables(table, tiles_total)
     return RasterCache(packed=packed, block_tile=bt, block_cnt=bc)
 
@@ -141,7 +142,7 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
               tiles_total: int, tiles_x: int, tile_h: int, tile_w: int,
               backend: str = "pallas", interpret: bool = False,
               stats_sink: Optional[RasterStats] = None,
-              img_h: int = 0, img_w: int = 0):
+              img_h: int = 0, img_w: int = 0, tiles_y: int = 0):
     """Rasterize gaussians into tile-layout images (differentiable).
 
     Args:
@@ -178,7 +179,7 @@ def rasterize(mean_pix, inv_cov, color, opacity, table: BinningResult,
     color4 = color if nchan == 4 else jnp.pad(color, ((0, 4 - nchan), (0, 0)))
     cache = build_cache(mean_pix, inv_cov, color4, opacity, table,
                         tiles_total, tiles_x, tile_h, tile_w,
-                        has_depth=has_depth)
+                        has_depth=has_depth, tiles_y=tiles_y)
 
     def _raster_fwd(mean_pix, inv_cov, color4, opacity, *sink):
         out_raw = raster_pallas.raster_forward_pallas(

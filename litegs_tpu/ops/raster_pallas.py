@@ -432,7 +432,8 @@ class PackedEntries(NamedTuple):
 
 def pack_entry_params(mean_pix, inv_cov, color, opacity, depth,
                       sorted_point, sorted_tile, entry_valid,
-                      tiles_x: int, tile_h: int, tile_w: int):
+                      tiles_x: int, tile_h: int, tile_w: int,
+                      tiles_y: int = 0):
     """Gather per-point attributes to table entries and expand the alpha
     quadratic around each entry's tile origin (f32-exact local frame).
 
@@ -453,8 +454,14 @@ def pack_entry_params(mean_pix, inv_cov, color, opacity, depth,
     tab = jnp.stack(cols, axis=1)                       # [M, 10]
     f = jnp.take(tab, sorted_point, axis=0).T           # [10, E]
 
+    # tiles_y > 0: batched tables (binning.concat_tables) place view v's
+    # tiles at [v*T, (v+1)*T); the tile ORIGIN is per-view, so the row
+    # index wraps modulo tiles_y (a no-op for single-view tables)
+    row_idx = sorted_tile // tiles_x
+    if tiles_y > 0:
+        row_idx = row_idx % tiles_y
     ox = ((sorted_tile % tiles_x) * tile_w).astype(jnp.float32)
-    oy = ((sorted_tile // tiles_x) * tile_h).astype(jnp.float32)
+    oy = (row_idx * tile_h).astype(jnp.float32)
     mx = f[0] - ox
     my = f[1] - oy
     a, b, c = f[2], f[3], f[4]

@@ -140,19 +140,25 @@ def expand_attrs(attrs, counts, out_len: int, interpret: bool = False):
 
 def _window_gather_k(blocks, idx, nblk: int):
     """out[:, j] = window[:, idx[0, j]] for an (nblk*128)-wide window given
-    as nblk 128-lane pieces (hardware lane gather is one vreg wide)."""
+    as nblk 128-lane pieces.  Mosaic's hardware lane gather only lowers in
+    the self-shaped one-vreg form (indices.shape == operand.shape == [a,
+    128] -- lowering.py asserts indices == operand shape + (1,)), so the
+    slots axis is processed in 128-lane chunks, each gathering from every
+    window block and selecting by index range."""
     a = blocks[0].shape[0]
     w = idx.shape[1]
-    out = jnp.take_along_axis(
-        blocks[0], jnp.broadcast_to(jnp.clip(idx, 0, BLK - 1), (a, w)),
-        axis=1)
-    for k in range(1, nblk):
-        g = jnp.take_along_axis(
-            blocks[k],
-            jnp.broadcast_to(jnp.clip(idx - k * BLK, 0, BLK - 1), (a, w)),
-            axis=1)
-        out = jnp.where(jnp.broadcast_to(idx >= k * BLK, (a, w)), g, out)
-    return out
+    assert w % BLK == 0
+    outs = []
+    for c in range(0, w, BLK):
+        idx_c = jnp.broadcast_to(idx[:, c:c + BLK], (a, BLK))
+        out_c = jnp.take_along_axis(
+            blocks[0], jnp.clip(idx_c, 0, BLK - 1), axis=1)
+        for k in range(1, nblk):
+            g = jnp.take_along_axis(
+                blocks[k], jnp.clip(idx_c - k * BLK, 0, BLK - 1), axis=1)
+            out_c = jnp.where(idx_c >= k * BLK, g, out_c)
+        outs.append(out_c)
+    return jnp.concatenate(outs, axis=1)
 
 
 def _expand_kernel_w(blo_ref, *refs, nblk: int, slots: int):

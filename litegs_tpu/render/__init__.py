@@ -201,3 +201,106 @@ def render(culled: CulledGaussians, view_matrix, proj_matrix,
                         primitive_visible=table.primitive_visible,
                         overflow=table.overflow | culled.overflow,
                         sizes=sizes, aux=aux)
+
+
+class RenderedBatch(NamedTuple):
+    """B views rendered by ONE raster kernel launch (see render_batch)."""
+
+    imgs: jax.Array                    # [B, 3, H, W] in [0, 1]
+    transmitance: Optional[jax.Array]  # [B, 1, H, W] or None
+    depth: Optional[jax.Array]         # [B, 1, H, W] or None
+    primitive_visible: jax.Array       # [B, Mv] bool
+    overflow: jax.Array                # scalar bool (any view)
+    sizes: jax.Array                   # [B, 3] int32 per view
+
+
+def render_batch(culled_list, view_mats, proj_mats,
+                 img_h: int, img_w: int,
+                 pp: PipelineParams, caps: CapacityParams,
+                 interpret: bool = False, stats_sink=None) -> RenderedBatch:
+    """Render B views through ONE rasterize() call.
+
+    The reference plumbs a batch axis B through every raster kernel
+    (raster.cu:182); here the per-view tables merge into one B*T-tile
+    table (binning.concat_tables) so one kernel launch, one entry pack
+    and one backward reduce serve all B views -- amortizing the fixed
+    per-dispatch costs that dominate small per-view ops.  Per-view
+    projection/binning stay independent (same math as render()); the
+    merged per-point gradients [*, B*Mv] split back through each view's
+    chain automatically.
+
+    All views share one (img_h, img_w) and one capacity bundle; overflow
+    of ANY view poisons the batch (the step retries, the same discipline
+    as single-view).  Pallas backend only.
+    """
+    assert pp.raster_backend == "pallas", "render_batch is pallas-only"
+    b = len(culled_list)
+    tile_h, tile_w = pp.tile_size
+    tiles_x = math.ceil(img_w / tile_w)
+    tiles_y = math.ceil(img_h / tile_h)
+    tiles_total = tiles_x * tiles_y
+    mv = caps.visible_capacity
+
+    tables, mean_pixs, inv_covs, colors, opacities = [], [], [], [], []
+    sizes = []
+    for v in range(b):
+        culled = culled_list[v]
+        xyz_h = projection.homogeneous(culled.xyz)
+        view_pos, ndc = projection.mvp_transform(xyz_h, view_mats[v],
+                                                 proj_mats[v])
+        jac = projection.rayspace_jacobian(view_pos, proj_mats[v],
+                                           img_h, img_w)
+        cov2d = projection.cov2d_fused(culled.scale, culled.rot, jac,
+                                       view_mats[v])
+        inv_cov = projection.inverse_2x2_sym(cov2d)
+        view_z = view_pos[2]
+        table = binning_ops.build_tile_table(
+            jax.lax.stop_gradient(ndc), jax.lax.stop_gradient(view_z),
+            jax.lax.stop_gradient(inv_cov),
+            jax.lax.stop_gradient(culled.opacity),
+            culled.valid, img_h, img_w, tile_h, tile_w,
+            caps.row_capacity, caps.entry_capacity)
+        tables.append(table)
+        mean_pixs.append(projection.ndc_to_pixel(ndc, img_h, img_w))
+        channels = [culled.color]
+        if pp.enable_depth:
+            channels.append(view_z[None])
+        colors.append(jnp.concatenate(channels, axis=0))
+        opacities.append(culled.opacity)
+        inv_covs.append(inv_cov)
+        sizes.append(jnp.stack([
+            culled.num_visible_chunks.astype(jnp.int32)
+            * jnp.int32(pp.cluster_size),
+            table.num_rows.astype(jnp.int32),
+            table.num_entries.astype(jnp.int32)]))
+
+    merged = binning_ops.concat_tables(tables, tiles_total, mv)
+    tiles_color, tiles_trans, _ = raster_ops.rasterize(
+        jnp.concatenate(mean_pixs, axis=1),
+        jnp.concatenate(inv_covs, axis=1),
+        jnp.concatenate(colors, axis=1),
+        jnp.concatenate(opacities, axis=0),
+        merged, b * tiles_total, tiles_x, tile_h, tile_w,
+        backend="pallas", interpret=interpret,
+        stats_sink=stats_sink,  # [B*Mv] sink: per-view stats by slicing
+        img_h=img_h, img_w=img_w, tiles_y=tiles_y)
+
+    imgs, transs, depths = [], [], []
+    for v in range(b):
+        tc = tiles_color[v * tiles_total:(v + 1) * tiles_total]
+        img_all = um.tiles_to_img(tc, img_h, img_w, tile_h, tile_w)
+        imgs.append(jnp.clip(img_all[:3], 0.0, 1.0))
+        if pp.enable_depth:
+            depths.append(img_all[3:4])
+        if pp.enable_transmitance:
+            tt = tiles_trans[v * tiles_total:(v + 1) * tiles_total]
+            transs.append(um.tiles_to_img(tt[:, None], img_h, img_w,
+                                          tile_h, tile_w))
+    overflow = merged.overflow | jnp.any(
+        jnp.stack([c.overflow for c in culled_list]))
+    return RenderedBatch(
+        imgs=jnp.stack(imgs),
+        transmitance=jnp.stack(transs) if transs else None,
+        depth=jnp.stack(depths) if depths else None,
+        primitive_visible=merged.primitive_visible.reshape(b, mv),
+        overflow=overflow, sizes=jnp.stack(sizes))

@@ -1,0 +1,95 @@
+"""Batched rendering (render_batch): B views through one kernel launch
+must match B independent render() calls exactly (fwd) and in gradients
+(VJP), since the merged table is the same per-view tables at tile/point
+offsets (ops/binning.concat_tables; reference batch axis raster.cu:182)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from litegs_tpu import config as lcfg, data, render, scene
+from litegs_tpu.ops import losses
+
+H, W = 64, 96
+
+
+def _scene(n=600, frames=3, seed=0):
+    cam, frs = data.synthetic.make_cameras(frames, H, W, seed=seed)
+    xyz, rgb = data.synthetic.make_gaussian_cloud(n, seed=seed + 1)
+    params = scene.pad_params(scene.create_gaussians(xyz, rgb, 2), 1024)
+    caps = lcfg.CapacityParams(1024, 1024, 8192, 32768)
+    pp = lcfg.PipelineParams(raster_backend="pallas",
+                             enable_transmitance=True)
+    return cam, frs, params, caps, pp
+
+
+def _culled(params, cam, f, pp, caps):
+    xyz_a, s_a, r_a, _ = scene.activate(params)
+    origin, extend = scene.cluster.chunk_aabb(xyz_a, s_a, r_a,
+                                              pp.cluster_size)
+    return render.render_preprocess(
+        params, origin, extend,
+        jnp.asarray(f.frustumplane(cam.proj_matrix())),
+        jnp.asarray(f.camera_center(), jnp.float32), 2, pp, caps)
+
+
+def test_batch_forward_matches_single():
+    cam, frs, params, caps, pp = _scene()
+    b = 2
+    culled = [_culled(params, cam, frs[v], pp, caps) for v in range(b)]
+    views = [jnp.asarray(frs[v].view_matrix()) for v in range(b)]
+    projs = [jnp.asarray(cam.proj_matrix()) for _ in range(b)]
+    batch = render.render_batch(culled, views, projs, H, W, pp, caps,
+                                interpret=True)
+    assert not bool(batch.overflow)
+    for v in range(b):
+        single = render.render(culled[v], views[v], projs[v], H, W, pp,
+                               caps, interpret=True)
+        np.testing.assert_array_equal(np.asarray(batch.imgs[v]),
+                                      np.asarray(single.img),
+                                      err_msg=f"view {v} image")
+        np.testing.assert_array_equal(
+            np.asarray(batch.transmitance[v]),
+            np.asarray(single.transmitance), err_msg=f"view {v} T")
+        np.testing.assert_array_equal(
+            np.asarray(batch.primitive_visible[v]),
+            np.asarray(single.primitive_visible))
+        np.testing.assert_array_equal(np.asarray(batch.sizes[v]),
+                                      np.asarray(single.sizes))
+
+
+def test_batch_grads_match_single_sum():
+    cam, frs, params, caps, pp = _scene(n=400)
+    b = 2
+    views = [jnp.asarray(frs[v].view_matrix()) for v in range(b)]
+    projs = [jnp.asarray(cam.proj_matrix()) for _ in range(b)]
+    gts = []
+    for v in range(b):
+        culled = _culled(params, cam, frs[v], pp, caps)
+        gts.append(render.render(culled, views[v], projs[v], H, W, pp,
+                                 caps, interpret=True).img)
+
+    def loss_batch(sh0):
+        p = params._replace(sh_0=sh0)
+        culled = [_culled(p, cam, frs[v], pp, caps) for v in range(b)]
+        out = render.render_batch(culled, views, projs, H, W, pp, caps,
+                                  interpret=True)
+        ls = [losses.fused_l1_ssim_loss(out.imgs[v], gts[v], 0.2)
+              for v in range(b)]
+        return sum(ls) / b
+
+    def loss_single(sh0):
+        p = params._replace(sh_0=sh0)
+        ls = []
+        for v in range(b):
+            culled = _culled(p, cam, frs[v], pp, caps)
+            out = render.render(culled, views[v], projs[v], H, W, pp,
+                                caps, interpret=True)
+            ls.append(losses.fused_l1_ssim_loss(out.img, gts[v], 0.2))
+        return sum(ls) / b
+
+    sh0 = params.sh_0 + 0.3
+    lb, gb = jax.value_and_grad(loss_batch)(sh0)
+    ls, gs = jax.value_and_grad(loss_single)(sh0)
+    np.testing.assert_allclose(float(lb), float(ls), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gs),
+                               rtol=1e-5, atol=1e-7)
