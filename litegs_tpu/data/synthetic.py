@@ -46,7 +46,8 @@ def make_cameras(n_frames: int, img_h: int, img_w: int,
     return cam, frames
 
 
-def make_gaussian_cloud(n_points: int, seed: int = 0, extent: float = 1.5):
+def make_gaussian_cloud(n_points: int, seed: int = 0, extent: float = 1.5,
+                        freq: float = 1.0):
     """Random seed point cloud: positions in a ball, colors from a smooth
     spatial field.
 
@@ -54,6 +55,11 @@ def make_gaussian_cloud(n_points: int, seed: int = 0, extent: float = 1.5):
     rather than iid noise: iid colors make the rendered images white-noise-
     like, where the L1+SSIM objective and PSNR decouple and convergence
     can't be judged; a smooth field matches the statistics of real scenes.
+
+    ``freq`` scales the spatial frequency of the color field.  freq > 1
+    adds detail a sparse model cannot represent, giving the densification
+    controller persistent image-error signal to spend its budget on (the
+    natural-image analogue: texture finer than the current splat size).
     """
     rng = np.random.default_rng(seed)
     xyz = rng.normal(size=(n_points, 3)).astype(np.float32)
@@ -61,10 +67,18 @@ def make_gaussian_cloud(n_points: int, seed: int = 0, extent: float = 1.5):
     r = rng.random((n_points, 1)).astype(np.float32) ** (1 / 3)
     xyz = xyz * r
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    f = freq
     base = np.stack([
-        0.5 + 0.38 * np.sin(2.1 * x + 0.3) * np.cos(1.7 * z),
-        0.5 + 0.38 * np.sin(1.3 * y + 1.1) * np.cos(2.3 * x),
-        0.5 + 0.38 * np.sin(1.9 * z + 2.0) * np.cos(1.1 * y)], axis=1)
+        0.5 + 0.38 * np.sin(2.1 * f * x + 0.3) * np.cos(1.7 * f * z),
+        0.5 + 0.38 * np.sin(1.3 * f * y + 1.1) * np.cos(2.3 * f * x),
+        0.5 + 0.38 * np.sin(1.9 * f * z + 2.0) * np.cos(1.1 * f * y)],
+        axis=1)
+    if freq > 1.0:
+        # second octave: keeps high-freq structure from averaging to gray
+        base += np.stack([
+            0.18 * np.sin(4.7 * f * x + 1.9 * f * y),
+            0.18 * np.cos(5.3 * f * y + 2.3 * f * z),
+            0.18 * np.sin(4.1 * f * z + 2.9 * f * x)], axis=1)
     noise = rng.normal(scale=0.05, size=(n_points, 3))
     color = np.clip(base + noise, 0.0, 1.0).astype(np.float32)
     return xyz, color

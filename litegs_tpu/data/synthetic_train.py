@@ -17,10 +17,12 @@ from ..training.trainer import (CameraBatch, Trainer,
 from . import synthetic
 
 
-def make_gt_params(n_points: int, sh_degree: int, seed: int):
+def make_gt_params(n_points: int, sh_degree: int, seed: int,
+                   color_freq: float = 1.0):
     """A 'ground-truth' scene: the standard init plus randomized opacity,
     anisotropic scales and mild SH variation, so images are non-trivial."""
-    xyz, rgb = synthetic.make_gaussian_cloud(n_points, seed=seed)
+    xyz, rgb = synthetic.make_gaussian_cloud(n_points, seed=seed,
+                                             freq=color_freq)
     params = create_gaussians(xyz, rgb, sh_degree)
     rng = np.random.default_rng(seed + 1)
     op = jnp.asarray(rng.uniform(-1.0, 3.0, (1, n_points)), jnp.float32)
@@ -31,15 +33,32 @@ def make_gt_params(n_points: int, sh_degree: int, seed: int):
 
 
 def make_task(n_points=600, n_frames=8, img_h=64, img_w=96, sh_degree=2,
-              seed=0, backend="jnp", interpret=False):
-    """Returns (train_data: CameraBatch, init_xyz, init_color, configs)."""
+              seed=0, backend="jnp", interpret=False,
+              init_points=None, color_freq=1.0):
+    """Returns (train_data: CameraBatch, init_xyz, init_color, configs).
+
+    ``init_points`` < n_points subsamples the GT cloud for the model init
+    (the SfM-sparse-init regime: the model must densify toward the GT
+    density to resolve the texture).  ``color_freq`` > 1 sharpens the GT
+    color field so that error signal persists until the splats are fine
+    enough -- together these make the densification budget actually spent
+    rather than score-limited (reference operating point:
+    full_eval_aggressive densify-to-1M, litegs/full_eval_aggressive.py).
+    """
     cam, frames = synthetic.make_cameras(n_frames, img_h, img_w, seed=seed)
-    gt_params, xyz, rgb = make_gt_params(n_points, sh_degree, seed)
+    gt_params, xyz, rgb = make_gt_params(n_points, sh_degree, seed,
+                                         color_freq=color_freq)
+    # per-point row/entry multipliers shrink with density: 3-NN init scales
+    # make splats smaller as the cloud densifies, so large GT clouds need
+    # far fewer entries per point (measured ~3-6 at >= 1M points vs ~20-40
+    # at <= 10k); the static tables would otherwise dominate device memory
+    rows_pp = 12 if n_points < 200_000 else 6
+    ents_pp = 48 if n_points < 200_000 else 20
     caps_gt = cfg.CapacityParams(
         primitive_capacity=cfg.round_up(n_points, 128),
         visible_capacity=cfg.round_up(n_points, 128),
-        row_capacity=cfg.round_up(max(n_points * 12, 1 << 14), 128),
-        entry_capacity=cfg.round_up(max(n_points * 48, 1 << 15), 128))
+        row_capacity=cfg.round_up(max(n_points * rows_pp, 1 << 14), 128),
+        entry_capacity=cfg.round_up(max(n_points * ents_pp, 1 << 15), 128))
     pp = cfg.PipelineParams(raster_backend=backend)
     gt_padded = pad_params(gt_params, caps_gt.primitive_capacity)
     batch = camera_batch_from_frames(
@@ -56,6 +75,9 @@ def make_task(n_points=600, n_frames=8, img_h=64, img_w=96, sh_degree=2,
     data = batch._replace(images=jnp.asarray(np.stack(imgs)))
     # jitter the init point cloud so the task is non-trivial
     rng = np.random.default_rng(seed + 7)
+    if init_points is not None and init_points < xyz.shape[0]:
+        keep = rng.choice(xyz.shape[0], size=init_points, replace=False)
+        xyz, rgb = xyz[keep], rgb[keep]
     init_xyz = xyz + rng.normal(scale=0.01, size=xyz.shape).astype(
         np.float32)
     return data, init_xyz, rgb

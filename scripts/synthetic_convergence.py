@@ -29,6 +29,14 @@ def main(argv=None):
     parser.add_argument("--backend", type=str, default=None)
     parser.add_argument("--densify_mode", type=str, default="taming",
                         choices=["taming", "official"])
+    parser.add_argument("--init_points", type=int, default=None,
+                        help="subsample the GT cloud to this many init "
+                             "points (SfM-sparse-init regime; the model "
+                             "must densify toward the GT density)")
+    parser.add_argument("--color_freq", type=float, default=1.0,
+                        help="GT color-field frequency multiplier; > 1 "
+                             "adds texture finer than the init splats, "
+                             "keeping densification scores alive")
     parser.add_argument("--tile", type=str, default="16x32",
                         help="tile size HxW (16x32 suits the small "
                              "default frame; use 32x24 at garden scale, "
@@ -49,7 +57,8 @@ def main(argv=None):
     data, init_xyz, init_color = synthetic_train.make_task(
         n_points=args.points, n_frames=args.frames, img_h=args.height,
         img_w=args.width, sh_degree=args.sh_degree, seed=0,
-        backend=backend, interpret=interp)
+        backend=backend, interpret=interp,
+        init_points=args.init_points, color_freq=args.color_freq)
     print(f"scene built in {time.time()-t0:.1f}s", flush=True)
 
     lp = cfg.ModelParams(sh_degree=args.sh_degree)
