@@ -18,9 +18,13 @@ from . import synthetic
 
 
 def make_gt_params(n_points: int, sh_degree: int, seed: int,
-                   color_freq: float = 1.0):
+                   color_freq: float = 1.0, scale_shift: float = 0.0):
     """A 'ground-truth' scene: the standard init plus randomized opacity,
-    anisotropic scales and mild SH variation, so images are non-trivial."""
+    anisotropic scales and mild SH variation, so images are non-trivial.
+
+    ``scale_shift`` adds to the log-scales; large clouds pass a negative
+    shift (bench.py uses -0.7 for the same reason) so per-point tile
+    footprints stay garden-like and the GT render fits its entry table."""
     xyz, rgb = synthetic.make_gaussian_cloud(n_points, seed=seed,
                                              freq=color_freq)
     params = create_gaussians(xyz, rgb, sh_degree)
@@ -28,7 +32,8 @@ def make_gt_params(n_points: int, sh_degree: int, seed: int,
     op = jnp.asarray(rng.uniform(-1.0, 3.0, (1, n_points)), jnp.float32)
     dscale = jnp.asarray(rng.uniform(-0.5, 0.8, (3, n_points)), jnp.float32)
     rot = jnp.asarray(rng.standard_normal((4, n_points)), jnp.float32)
-    return params._replace(opacity=op, scale=params.scale + dscale,
+    return params._replace(opacity=op,
+                           scale=params.scale + dscale + scale_shift,
                            rot=rot), xyz, rgb
 
 
@@ -46,14 +51,18 @@ def make_task(n_points=600, n_frames=8, img_h=64, img_w=96, sh_degree=2,
     full_eval_aggressive densify-to-1M, litegs/full_eval_aggressive.py).
     """
     cam, frames = synthetic.make_cameras(n_frames, img_h, img_w, seed=seed)
-    gt_params, xyz, rgb = make_gt_params(n_points, sh_degree, seed,
-                                         color_freq=color_freq)
+    gt_params, xyz, rgb = make_gt_params(
+        n_points, sh_degree, seed, color_freq=color_freq,
+        scale_shift=0.0 if n_points < 200_000 else -0.7)
     # per-point row/entry multipliers shrink with density: 3-NN init scales
     # make splats smaller as the cloud densifies, so large GT clouds need
     # far fewer entries per point (measured ~3-6 at >= 1M points vs ~20-40
     # at <= 10k); the static tables would otherwise dominate device memory
+    # ents_pp at >= 200k also keeps entry capacity < 2^24 (the
+    # f32-exact start-offset bound in ops/binning.expand_with_table)
+    # up to ~1.39M GT points
     rows_pp = 12 if n_points < 200_000 else 6
-    ents_pp = 48 if n_points < 200_000 else 20
+    ents_pp = 48 if n_points < 200_000 else 12
     caps_gt = cfg.CapacityParams(
         primitive_capacity=cfg.round_up(n_points, 128),
         visible_capacity=cfg.round_up(n_points, 128),

@@ -29,6 +29,7 @@ project ellipse-slab intersections, which is exact for convex sets).
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -443,15 +444,20 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     pt_sorted = jnp.take(pt_table, depth_order, axis=0)
     rows_sorted = pt_sorted[:, 11].astype(jnp.int32)
 
+    # stage-granular override for on-chip bisection/experiments: "12"
+    # streams both expansions, "1"/"2" just one
+    _stages = os.environ.get("LITEGS_STREAM_STAGES", "12")
+    stream1 = stream and "1" in _stages
+    stream2 = stream and "2" in _stages
+    interp = jax.default_backend() != "tpu"
     ok_windows = jnp.bool_(True)
-    if stream:
+    if stream1:
         # Streaming expansion: owners advance monotonically, so a Pallas
         # window kernel replicates the 12 payload columns at sequential
         # rates instead of the ~7.5 ns/index random-gather floor.  The
         # depth key pushed zero-row points to the tail, so counts > 0 form
         # a contiguous prefix and window 256 is strictly sufficient.
         from .stream_gather import expand_attrs_windowed
-        interp = jax.default_backend() != "tpu"
         attrs1 = jnp.pad(pt_sorted.T, ((0, 4), (0, 0)))      # [16, M]
         sps1 = _sps(row_capacity)
         # counts > 0 prefix: owners advance <= sps per step, so window =
@@ -490,7 +496,7 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     row_tiles = jnp.where(row_valid, row_tiles, 0)
 
     # ---- expansion 2: (point, row) -> (point, row, tile) = table entry ----
-    if stream:
+    if stream2:
         from .stream_gather import expand_attrs_windowed
         attrs2 = jnp.stack(
             [row_pt.astype(jnp.float32), row_y.astype(jnp.float32),

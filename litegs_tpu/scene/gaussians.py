@@ -59,7 +59,7 @@ class GaussianParams(NamedTuple):
 
 
 def knn_mean_sq_dist(xyz: jax.Array, k: int = 3,
-                     block: int = 4096) -> jax.Array:
+                     block: int | None = None) -> jax.Array:
     """Mean squared distance to the k nearest neighbors per point.
 
     Args:
@@ -69,6 +69,10 @@ def knn_mean_sq_dist(xyz: jax.Array, k: int = 3,
       distCUDA2 returns in the reference, simple-knn/spatial.cu:15-26).
     """
     n = xyz.shape[0]
+    if block is None:
+        # one scan step materializes a [block, N] f32 distance matrix;
+        # cap it at ~2 GB so million-point clouds don't OOM the 16 GB HBM
+        block = max(128, min(4096, (1 << 31) // (4 * max(n, 1)) // 128 * 128))
     pad = (-n) % block
     pts = jnp.pad(xyz, ((0, pad), (0, 0)),
                   constant_values=jnp.inf).astype(jnp.float32)
