@@ -37,6 +37,14 @@ def main(argv=None):
                         help="GT color-field frequency multiplier; > 1 "
                              "adds texture finer than the init splats, "
                              "keeping densification scores alive")
+    parser.add_argument("--static_caps", action="store_true",
+                        help="disable adaptive capacity buckets: one "
+                             "step compile per sh-degree instead of one "
+                             "per bucket transition -- the right trade "
+                             "for growth-heavy runs through the slow "
+                             "remote-compile tunnel (densify-to-1M "
+                             "crosses ~20 buckets; each recompile costs "
+                             "more than the padding it saves)")
     parser.add_argument("--tile", type=str, default="16x32",
                         help="tile size HxW (16x32 suits the small "
                              "default frame; use 32x24 at garden scale, "
@@ -65,7 +73,8 @@ def main(argv=None):
     op = cfg.OptimizationParams(iterations=args.iters,
                                 position_lr_max_steps=args.iters)
     th, tw = map(int, args.tile.split("x"))
-    pp = cfg.PipelineParams(raster_backend=backend, tile_size=(th, tw))
+    pp = cfg.PipelineParams(raster_backend=backend, tile_size=(th, tw),
+                            adaptive_capacity=not args.static_caps)
     total_epochs = max(args.iters // args.frames, 1)
     dp = cfg.DensifyParams(densification_interval=4, densify_from=3,
                            densify_until=int(total_epochs * 0.7),
