@@ -84,9 +84,17 @@ def make_task(n_points=600, n_frames=8, img_h=64, img_w=96, sh_degree=2,
     data = batch._replace(images=jnp.asarray(np.stack(imgs)))
     # jitter the init point cloud so the task is non-trivial
     rng = np.random.default_rng(seed + 7)
-    if init_points is not None and init_points < xyz.shape[0]:
-        keep = rng.choice(xyz.shape[0], size=init_points, replace=False)
-        xyz, rgb = xyz[keep], rgb[keep]
+    if init_points is not None:
+        if init_points < xyz.shape[0]:
+            keep = rng.choice(xyz.shape[0], size=init_points, replace=False)
+            xyz, rgb = xyz[keep], rgb[keep]
+        else:
+            # a typo'd --init_points >= n_points would silently run the
+            # dense-init regime while the user believes they ran sparse
+            import warnings
+            warnings.warn(
+                f"init_points={init_points} >= n_points={xyz.shape[0]}: "
+                "no subsampling applied (dense-init regime)")
     init_xyz = xyz + rng.normal(scale=0.01, size=xyz.shape).astype(
         np.float32)
     return data, init_xyz, rgb

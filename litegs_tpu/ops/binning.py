@@ -445,7 +445,10 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     rows_sorted = pt_sorted[:, 11].astype(jnp.int32)
 
     # stage-granular override for on-chip bisection/experiments: "12"
-    # streams both expansions, "1"/"2" just one
+    # streams both expansions, "1"/"2" just one.  Read at TRACE time: set
+    # it BEFORE the first jitted step traces -- a cached compiled step
+    # keeps whatever selection it traced with (the knob is not part of
+    # the jit cache key), exactly like config.BINNING_STREAM.
     _stages = os.environ.get("LITEGS_STREAM_STAGES", "12")
     stream1 = stream and "1" in _stages
     stream2 = stream and "2" in _stages

@@ -228,6 +228,12 @@ class ParallelTrainer:
             state, stats, _ = self.run_epoch(state, stats, epoch,
                                              groups=overflowed,
                                              _retry=_retry + 1)
+        elif overflowed:
+            # static caps: see Trainer.run_epoch -- skipped updates must
+            # not pass silently
+            print(f"[epoch {epoch}] WARNING: {n_over} group(s) overflowed "
+                  "static capacities; their updates were skipped "
+                  "(raise caps or enable adaptive_capacity)", flush=True)
         if _retry == 0:
             self._post_densify = False  # cushion lasts one epoch
         return state, stats, {

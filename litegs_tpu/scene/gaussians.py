@@ -71,7 +71,11 @@ def knn_mean_sq_dist(xyz: jax.Array, k: int = 3,
     n = xyz.shape[0]
     if block is None:
         # one scan step materializes a [block, N] f32 distance matrix;
-        # cap it at ~2 GB so million-point clouds don't OOM the 16 GB HBM
+        # cap it at ~2 GB so million-point clouds don't OOM the 16 GB HBM.
+        # NOTE: the formula floors at block=128, so the cap only holds up
+        # to n ~ 4.2M; beyond that the slab grows linearly again (8.6 GB
+        # at the 2^24 point limit) -- callers with larger clouds must
+        # subsample or chunk columns.
         block = max(128, min(4096, (1 << 31) // (4 * max(n, 1)) // 128 * 128))
     pad = (-n) % block
     pts = jnp.pad(xyz, ((0, pad), (0, 0)),

@@ -555,6 +555,13 @@ class Trainer:
             state, stats, _ = self.run_epoch(state, stats, epoch,
                                              frame_ids=overflowed,
                                              _retry=_retry + 1)
+        elif overflowed:
+            # static caps: the overflow-safe step applied NO update for
+            # these views and a retry would hit the same capacities -- be
+            # loud, the run is silently dropping training signal
+            print(f"[epoch {epoch}] WARNING: {n_over} view(s) overflowed "
+                  "static capacities; their updates were skipped "
+                  "(raise caps or enable adaptive_capacity)", flush=True)
         if _retry == 0:
             self._post_densify = False  # cushion lasts one epoch
         return state, stats, {

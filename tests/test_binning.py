@@ -1,6 +1,8 @@
 """Binning correctness: exact ellipse/tile intersection vs dense sampling."""
 import math
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -269,9 +271,15 @@ def test_rows_tightened_nonempty():
     assert not missing.any(), f"{missing.sum()} sampled tiles not emitted"
 
 
-def test_stream_backend_bitexact():
+@pytest.mark.parametrize("stages", ["1", "2", "12"])
+def test_stream_backend_bitexact(stages, monkeypatch):
     """The streaming-Pallas expansion path must produce a BIT-IDENTICAL
-    table to the XLA gather path (same expansion order, same sort)."""
+    table to the XLA gather path (same expansion order, same sort).
+
+    Parameterized over LITEGS_STREAM_STAGES: the single-stage mixed paths
+    (stream expansion 1 feeding the gather-based stage 2 and vice versa)
+    are exactly what the on-chip bisection runs."""
+    monkeypatch.setenv("LITEGS_STREAM_STAGES", stages)
     rng = np.random.default_rng(21)
     n = 300
     mean, inv, color, op, z, ndc = random_screen_gaussians(

@@ -1,6 +1,6 @@
 """Round-4 synthetic-task knobs: sparse init, textured GT, KNN auto-block.
 
-The densify-to-1M flagship run (CONVERGENCE_r4.md) relies on these:
+The densify-to-1M flagship run (CONVERGENCE_r5.md) relies on these:
 ``init_points`` subsamples the GT cloud (SfM-sparse-init regime) and
 ``color_freq`` sharpens the GT color field so densification scores stay
 alive; ``knn_mean_sq_dist`` auto-sizes its scan block so million-point
