@@ -67,6 +67,18 @@ class PipelineParams:
     # ablation point (ablations_culling.py:75) -- chunking itself stays
     # (static shapes require it) but the culling win is removed.
     disable_culling: bool = False
+    # Multi-chip dispatch for training.start(): 'auto' uses the
+    # data-parallel ParallelTrainer whenever jax.device_count() > 1,
+    # 'on' forces it (errors if impossible), 'off' always trains
+    # single-chip.  Pose refinement (op.learnable_viewproj) is
+    # single-chip-only and falls back under 'auto'.
+    parallel: str = "auto"
+    # Views per optimizer step through ONE raster launch (the reference's
+    # batch axis B, raster.cu:182).  B > 1 amortizes per-dispatch fixed
+    # costs; semantics = mean gradient of B views (identical to the mesh
+    # data-parallel step with D=B on one chip).  Pallas backend only;
+    # pose refinement unsupported -- the trainer falls back to B=1.
+    batch_views: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

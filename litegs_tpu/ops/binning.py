@@ -454,6 +454,12 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
     stream2 = stream and "2" in _stages
     interp = jax.default_backend() != "tpu"
     ok_windows = jnp.bool_(True)
+    # bisect aid: run the streaming kernel IN the step but route the XLA
+    # path's outputs downstream, selected by a runtime-false predicate
+    # (jnp.where on traced data -- XLA cannot DCE the kernel).  Separates
+    # "kernel execution faults in step context" from "downstream
+    # consumption of the arbitrary tail faults".
+    _shadow = bool(os.environ.get("LITEGS_STREAM_SHADOW"))
     if stream1:
         # Streaming expansion: owners advance monotonically, so a Pallas
         # window kernel replicates the 12 payload columns at sequential
@@ -478,6 +484,25 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         r_min_x = av[8].astype(jnp.int32)
         r_max_x = av[9].astype(jnp.int32)
         r_min_y = av[10].astype(jnp.int32)
+        if _shadow:
+            _, x_rank, x_valid, x_total, xv = expand_with_table(
+                rows_sorted, row_capacity, pt_sorted)
+            live = total_rows < 0            # runtime False
+            row_rank = jnp.where(live, row_rank, x_rank)
+            row_valid = jnp.where(live, row_valid, x_valid)
+            total_rows = jnp.where(live, total_rows, x_total)
+            row_pt = jnp.where(live, row_pt, xv[:, 0].astype(jnp.int32))
+            r_px = jnp.where(live, r_px, xv[:, 1])
+            r_py = jnp.where(live, r_py, xv[:, 2])
+            r_a = jnp.where(live, r_a, xv[:, 3])
+            r_b = jnp.where(live, r_b, xv[:, 4])
+            r_c = jnp.where(live, r_c, xv[:, 5])
+            r_t = jnp.where(live, r_t, xv[:, 6])
+            r_disc = jnp.where(live, r_disc,
+                               jnp.where(x_valid, xv[:, 7], -1.0))
+            r_min_x = jnp.where(live, r_min_x, xv[:, 8].astype(jnp.int32))
+            r_max_x = jnp.where(live, r_max_x, xv[:, 9].astype(jnp.int32))
+            r_min_y = jnp.where(live, r_min_y, xv[:, 10].astype(jnp.int32))
     else:
         # pass all 12 columns (a row-gather's cost is per-index,
         # independent of K); rv[:, 11] is rows_sorted again, ignored

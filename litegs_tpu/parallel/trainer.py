@@ -296,6 +296,11 @@ class ParallelTrainer:
             lambda tmpl, h: jax.device_put(jnp.asarray(h), tmpl.sharding),
             sharded, host_stats)
 
+    def state_from_io(self, state: TrainState) -> TrainState:
+        """Replicate a host/in-memory TrainState onto the mesh (checkpoint
+        resume path of training.start)."""
+        return replicate(self.mesh, state)
+
     def train(self, init_xyz, init_color, verbose=True):
         state = self.init_state(init_xyz, init_color)
         stats = self.init_stats()

@@ -119,11 +119,47 @@ def _ckpt_tree(trainer, state, stats):
     """Checkpoint pytree: TrainState + densify stats accumulators
     (+ pose state when pose-opt is on).  Stats must ride the checkpoint
     because official-mode densification accumulates across epochs
-    between densify events (VERDICT r3 missing #5)."""
-    tree = {"state": state, "stats": stats}
+    between densify events (VERDICT r3 missing #5).  Sharded leaves
+    (ParallelTrainer stats) are gathered to host arrays through the
+    trainer's stats_for_io hook so the file format is mesh-agnostic."""
+    tree = {"state": state, "stats": trainer.stats_for_io(stats)}
     if trainer.pose_state is not None:
         tree["pose"] = trainer.pose_state
     return tree
+
+
+def _pick_trainer(lp, op, pp, dp, caps, data, radius, extr_init,
+                  verbose: bool):
+    """Dispatch single-chip Trainer vs data-parallel ParallelTrainer.
+
+    ``pp.parallel``: 'auto' -> ParallelTrainer iff more than one device is
+    visible; 'on' -> force it (even on one device -- useful for testing);
+    'off' -> never.  Pose refinement is single-chip-only (the reference's
+    pose grads are severed anyway, wrapper.py:278-285): 'auto' falls back
+    to Trainer, 'on' raises.
+    """
+    import jax
+    want = pp.parallel
+    if want not in ("auto", "on", "off"):
+        raise ValueError(f"pp.parallel must be auto|on|off, got {want!r}")
+    use_parallel = (want == "on"
+                    or (want == "auto" and jax.device_count() > 1))
+    if use_parallel and op.learnable_viewproj:
+        if want == "on":
+            raise ValueError(
+                "pp.parallel='on' is incompatible with learnable_viewproj "
+                "(pose state is per-frame; single-chip only)")
+        use_parallel = False
+    if use_parallel:
+        from ..parallel.trainer import ParallelTrainer
+        if verbose:
+            import jax as _jax
+            print(f"using ParallelTrainer over {_jax.device_count()} "
+                  "device(s) (camera-DP, psum gradients)", flush=True)
+        return ParallelTrainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps,
+                               data=data, spatial_lr_scale=radius)
+    return Trainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps, data=data,
+                   spatial_lr_scale=radius, extr_init=extr_init)
 
 
 def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
@@ -159,11 +195,11 @@ def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
     extr_init = None
     if op.learnable_viewproj:
         extr_init = np.stack([fr.extr_params() for fr in train_frames])
-    trainer = Trainer(lp=lp, op=op, pp=pp, dp=dp, caps=caps, data=data,
-                      spatial_lr_scale=radius, extr_init=extr_init)
+    trainer = _pick_trainer(lp, op, pp, dp, caps, data, radius, extr_init,
+                            verbose)
 
     state = trainer.init_state(xyz, rgb)
-    stats = statistics.init_stats(caps.primitive_capacity)
+    stats = trainer.init_stats()
     start_epoch = 0
     if start_checkpoint:
         # The checkpoint pytree carries the densify statistics
@@ -176,7 +212,8 @@ def start(lp: cfg.ModelParams, op: cfg.OptimizationParams,
         template = _ckpt_tree(trainer, state, stats)
         start_epoch, restored = io_manager.load_checkpoint(
             start_checkpoint, template)
-        state, stats = restored["state"], restored["stats"]
+        state = trainer.state_from_io(restored["state"])
+        stats = trainer.stats_from_io(restored["stats"])
         if trainer.pose_state is not None:
             trainer.pose_state = restored["pose"]
         start_epoch += 1

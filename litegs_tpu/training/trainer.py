@@ -426,6 +426,17 @@ class Trainer:
             assert self.extr_init is not None, \
                 "learnable_viewproj requires extr_init ([F,7] per frame)"
             self.pose_state = pose_ops.init_pose_state(self.extr_init)
+        # B>1 batched stepping (pp.batch_views): pallas-only and
+        # incompatible with pose refinement -- fall back loudly to B=1
+        self.batch_views = 1
+        if self.pp.batch_views > 1:
+            if (self.pp.raster_backend == "pallas"
+                    and not self.op.learnable_viewproj):
+                self.batch_views = int(self.pp.batch_views)
+            else:
+                print("WARNING: batch_views > 1 requires the pallas "
+                      "backend without learnable_viewproj; using B=1",
+                      flush=True)
 
     # -- setup ---------------------------------------------------------
 
@@ -505,6 +516,83 @@ class Trainer:
                 self.interpret)
         return self._eval_cache[sh_degree]
 
+    # -- B>1 batched stepping (pp.batch_views) -------------------------
+
+    def _group_caps_max(self, ids) -> cfg.CapacityParams:
+        """One capacity bundle for a B-view group: field-wise max of the
+        members' per-frame buckets (all views of a batch share one
+        compiled step, so the group pays its heaviest member)."""
+        caps_list = [self._frame_caps(int(i)) for i in ids]
+        return cfg.CapacityParams(
+            primitive_capacity=self.caps.primitive_capacity,
+            visible_capacity=max(c.visible_capacity for c in caps_list),
+            row_capacity=max(c.row_capacity for c in caps_list),
+            entry_capacity=max(c.entry_capacity for c in caps_list))
+
+    def _get_batch_step(self, sh_degree: int, collect: bool,
+                        caps: cfg.CapacityParams, b: int):
+        key = (sh_degree, collect, caps, b)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_batch_train_step(
+                self.lp, self.op, self.pp, caps, self.img_h, self.img_w,
+                self.spatial_lr_scale, sh_degree, batch_views=b,
+                collect_stats=collect, interpret=self.interpret)
+        return self._step_cache[key]
+
+    def _run_epoch_batched(self, state, stats, epoch, frame_ids, sh_deg,
+                           collect, origin, extend, _retry):
+        """Epoch loop consuming batch_views frames per optimizer step
+        through one raster launch (reference batch axis, raster.cu:182).
+        Leftover frames (len % B) run through the single-view step so an
+        epoch still sees every frame exactly once; a batch whose ANY view
+        overflowed applied no update and all its frames are retried."""
+        bv = self.batch_views
+        ids = [int(i) for i in frame_ids]
+        cut = len(ids) - len(ids) % bv
+        pending = []                             # (group_ids, metrics)
+        for s in range(0, cut, bv):
+            g = ids[s:s + bv]
+            step_fn = self._get_batch_step(sh_deg, collect,
+                                           self._group_caps_max(g), bv)
+            sel = jnp.asarray(g)
+            state, stats, metrics = step_fn(
+                state, stats, origin, extend, self.data.view[sel],
+                self.data.proj[sel], self.data.planes[sel],
+                self.data.center[sel], self.data.images[sel])
+            pending.append((g, metrics))
+        for i in ids[cut:]:
+            step_fn = self._get_step(sh_deg, collect, self._frame_caps(i))
+            state, stats, self.pose_state, metrics = step_fn(
+                state, stats, origin, extend, self.data.view[i],
+                self.data.proj[i], self.data.planes[i],
+                self.data.center[i], self.data.images[i],
+                self.pose_state, jnp.int32(i))
+            pending.append(([i], metrics))
+        got = jax.device_get([m for _, m in pending])
+        overflowed = []
+        for (g, _), m in zip(pending, got):
+            self.size_feedback.observe(
+                np.asarray(g),
+                np.asarray(m["sizes"]).reshape(len(g), 3).astype(np.int64))
+            if bool(m["overflow"]):
+                overflowed.extend(g)
+        n_over = len(overflowed)
+        self.overflow_count += n_over
+        self.overflow_last_epoch = n_over > 0
+        if overflowed and self.pp.adaptive_capacity and _retry < 3:
+            state, stats, _ = self.run_epoch(state, stats, epoch,
+                                             frame_ids=overflowed,
+                                             _retry=_retry + 1)
+        elif overflowed:
+            print(f"[epoch {epoch}] WARNING: {n_over} view(s) overflowed "
+                  "static capacities; their updates were skipped "
+                  "(raise caps or enable adaptive_capacity)", flush=True)
+        if _retry == 0:
+            self._post_densify = False
+        return state, stats, {
+            "loss": float(np.mean([g["loss"] for g in got])),
+            "psnr": float(np.mean([g["psnr"] for g in got]))}
+
     # -- main loop -----------------------------------------------------
 
     def run_epoch(self, state: TrainState, stats, epoch: int,
@@ -525,6 +613,10 @@ class Trainer:
             self.key, sub = jax.random.split(self.key)
             frame_ids = np.asarray(
                 jax.random.permutation(sub, self.n_frames))
+        if self.batch_views > 1:
+            return self._run_epoch_batched(state, stats, epoch, frame_ids,
+                                           sh_deg, collect, origin, extend,
+                                           _retry)
         pending = []
         for i in frame_ids:
             i = int(i)
@@ -643,6 +735,21 @@ class Trainer:
                              data.proj[i], data.planes[i], data.center[i])
             psnrs.append(float(losses.psnr(img, data.images[i])))
         return float(np.mean(psnrs))
+
+    # -- IO normalization hooks (identity here; the ParallelTrainer
+    # gathers/re-places its sharded leaves through the same interface so
+    # training.start() can checkpoint either trainer uniformly) --------
+    def init_stats(self):
+        return statistics.init_stats(self.caps.primitive_capacity)
+
+    def stats_for_io(self, stats):
+        return stats
+
+    def stats_from_io(self, host_stats):
+        return host_stats
+
+    def state_from_io(self, state: TrainState) -> TrainState:
+        return state
 
 
 def camera_batch_from_frames(cam, frames, images) -> CameraBatch:
