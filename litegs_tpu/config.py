@@ -79,6 +79,12 @@ class PipelineParams:
     # data-parallel step with D=B on one chip).  Pallas backend only;
     # pose refinement unsupported -- the trainer falls back to B=1.
     batch_views: int = 1
+    # Wire dtype of the data-parallel gradient all-reduce: 'bf16' halves
+    # the per-step ICI volume (the psum is synchronous on this XLA
+    # version, ICI_OVERLAP_r4; gradients feed Adam's scale-invariant
+    # m/sqrt(v), and equal-updates convergence parity is pinned in the
+    # suite), 'f32' keeps the exact mean.
+    grad_allreduce_dtype: str = "bf16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -176,10 +176,23 @@ def make_parallel_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
                 loss_fn, has_aux=True)(state.params)
 
         # gradient all-reduce over ICI (replicated-param data parallelism):
-        # weighted mean so padding slots contribute exactly nothing
+        # weighted mean so padding slots contribute exactly nothing.
+        # The reduce rides in bf16 by default (pp.grad_allreduce_dtype):
+        # halves the per-step collective volume (~236 MB of f32 grads at
+        # 1M primitives, SCALING_r4.md), and the ~2^-8 relative rounding
+        # lands in Adam's scale-invariant m/sqrt(v) -- convergence parity
+        # at equal updates is pinned by
+        # tests/test_parallel_trainer.py::test_parallel_equals_sequential
+        # _at_equal_updates (which runs in bf16 mode).
         wsum = jax.lax.psum(w, DATA_AXIS)  # >= 1 (a group has >= 1 live)
-        grads = jax.tree.map(
-            lambda g: jax.lax.psum(g * w, DATA_AXIS) / wsum, grads)
+        if pp.grad_allreduce_dtype == "bf16":
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(
+                    (g * w).astype(jnp.bfloat16), DATA_AXIS
+                ).astype(jnp.float32) / wsum, grads)
+        else:
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g * w, DATA_AXIS) / wsum, grads)
         loss = jax.lax.psum(loss * w, DATA_AXIS) / wsum
 
         chunk_mask = cluster.scatter_chunk_mask(

@@ -212,6 +212,12 @@ def make_train_step(lp: cfg.ModelParams, op: cfg.OptimizationParams,
             metrics["tile_count"] = out.aux.table.tile_count
         return new_state, stats, pose, metrics
 
+    # LITEGS_NO_DONATE: bisect aid -- buffer donation changes XLA's
+    # aliasing/layout decisions, which is one of the step-context levers
+    # for the streaming-kernel fault investigation (PERF.md r4 §2)
+    import os as _os
+    if _os.environ.get("LITEGS_NO_DONATE"):
+        return jax.jit(step)
     donate = (0, 1, 9) if learnable_pose else (0, 1)
     return jax.jit(step, donate_argnums=donate)
 
