@@ -134,7 +134,9 @@ def main():
                                                 *map(int, ts),
                                                 margin=margin))
     print(f"[bench] per-frame caps entries="
-          f"{[c.entry_capacity for c in frame_caps]}", file=sys.stderr)
+          f"{[c.entry_capacity for c in frame_caps]} rows="
+          f"{[c.row_capacity for c in frame_caps]} vis="
+          f"{[c.visible_capacity for c in frame_caps]}", file=sys.stderr)
     step_fns = {}
     for c in frame_caps:
         if c not in step_fns:

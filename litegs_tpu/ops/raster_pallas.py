@@ -171,7 +171,8 @@ def _cumprod_excl_g(x):
     return x
 
 
-def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False):
+def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False,
+                 ablate: str = ""):
     """alpha (clamped+thresholded) and raw exp for one gaussian block.
 
     params_blk: [16, G] packed rows (see pack_entry_params).
@@ -183,8 +184,16 @@ def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False):
     params_blk are colors, but feature rows 6..7 are exact zeros so they
     contribute nothing.  Round-1's "~10% image error" data point was the
     DEFAULT (single-pass bf16) precision, not this.
+
+    ``ablate``: microbench-only stage stubs for on-chip pass-count
+    attribution (scripts/microbench_kernelstages.py) -- NOT a user knob;
+    outputs are wrong under any ablation.  'Q' stubs the quadratic to one
+    broadcast, 'E' stubs exp to an affine map.
     """
-    if mxu_q:
+    if "Q" in ablate:
+        q = jnp.broadcast_to(params_blk[0:1, :].T,
+                             (G_BLK, h_feat.shape[1]))
+    elif mxu_q:
         q = _mm(params_blk[0:8, :], h_feat, (0, 0), _HI)      # [G, P]
     else:
         q = 0.0
@@ -193,7 +202,10 @@ def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False):
     power = -0.5 * q                             # [G, P]; includes +ln(op)
     g_idx = jax.lax.broadcasted_iota(jnp.int32, (G_BLK, 1), 0)
     in_range = (g_idx < count_left)
-    alpha_raw = jnp.exp(power)
+    if "E" in ablate:
+        alpha_raw = jnp.maximum(1.0 + 0.1 * power, 0.0)
+    else:
+        alpha_raw = jnp.exp(power)
     thresh_ok = (alpha_raw >= ALPHA_MIN) & in_range
     alpha = jnp.where(thresh_ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
     return alpha, alpha_raw, thresh_ok
@@ -230,7 +242,7 @@ def _cumprod_excl(one_m, mxu: bool):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
-                has_depth=True, mxu=MXU_MODE):
+                has_depth=True, mxu=MXU_MODE, ablate=""):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     tile = bt_ref[b]
@@ -254,12 +266,16 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
         t_plain = out_ref[0, 5:6, :]
         t_eff = out_ref[0, 4:5, :]
         pb = params_ref[:, :]
-        alpha, _, _ = _block_alpha(pb, h_feat, count_left, "q" in mxu)
+        alpha, _, _ = _block_alpha(pb, h_feat, count_left, "q" in mxu,
+                                   ablate)
 
         # exclusive transmittance prefix along depth (VPU shift-multiply
         # scan or MXU triangular matmul, see _cumprod_excl)
         one_m = 1.0 - alpha                            # [G, P]
-        t_excl = t_plain * _cumprod_excl(one_m, "c" in mxu)
+        if "C" in ablate:      # microbench stub: no prefix scan
+            t_excl = t_plain * one_m
+        else:
+            t_excl = t_plain * _cumprod_excl(one_m, "c" in mxu)
         active = t_excl > T_MIN
         w = jnp.where(active, alpha * t_excl, 0.0)
 
@@ -267,7 +283,9 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
         # pad (nchan == 3): its output row stays at the is_first zeros
         nch = 4 if has_depth else 3
         colors = pb[6:6 + nch, :]                      # [nch, G] rgb[+depth]
-        if "a" in mxu:
+        if "A" in ablate:      # microbench stub: no channel reduce
+            acc = w[0:nch, :]
+        elif "a" in mxu:
             acc = _mm(colors, w, (1, 0), _MED)         # [nch, P] MXU
         else:
             acc = jnp.concatenate(
@@ -277,16 +295,21 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
 
         # effective (frozen) transmittance bookkeeping: the first plain
         # value <= T_MIN freezes (raster.cu:260-282 semantics)
-        t_incl = t_excl * one_m
-        crossed = t_incl <= T_MIN
-        first_below = jnp.max(jnp.where(crossed, t_incl, 0.0), axis=0,
-                              keepdims=True)
-        t_end = t_incl[G_BLK - 1:G_BLK, :]
-        any_crossed = jnp.any(crossed, axis=0, keepdims=True)
-        out_ref[0, 4:5, :] = jnp.where(
-            t_eff > T_MIN,
-            jnp.where(any_crossed, first_below, t_end), t_eff)
-        out_ref[0, 5:6, :] = t_end
+        if "T" in ablate:      # microbench stub: carry only t_end
+            t_end = t_excl[G_BLK - 1:G_BLK, :] * one_m[G_BLK - 1:G_BLK, :]
+            out_ref[0, 4:5, :] = t_end
+            out_ref[0, 5:6, :] = t_end
+        else:
+            t_incl = t_excl * one_m
+            crossed = t_incl <= T_MIN
+            first_below = jnp.max(jnp.where(crossed, t_incl, 0.0), axis=0,
+                                  keepdims=True)
+            t_end = t_incl[G_BLK - 1:G_BLK, :]
+            any_crossed = jnp.any(crossed, axis=0, keepdims=True)
+            out_ref[0, 4:5, :] = jnp.where(
+                t_eff > T_MIN,
+                jnp.where(any_crossed, first_below, t_end), t_eff)
+            out_ref[0, 5:6, :] = t_end
 
     @pl.when(is_last)
     def _():
@@ -307,7 +330,7 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
 
 def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
                 dt_vmem, dma_sem, *, tile_h, tile_w, has_depth=True,
-                with_stats=True, mxu=MXU_MODE):
+                with_stats=True, mxu=MXU_MODE, ablate=""):
     b = pl.program_id(0)
     tile = bt_ref[b]
     prev = bt_ref[jnp.maximum(b - 1, 0)]
@@ -346,10 +369,13 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
 
         pb = params_ref[:, :]
         alpha, alpha_raw, thresh_ok = _block_alpha(pb, h_feat, count_left,
-                                                   "q" in mxu)
+                                                   "q" in mxu, ablate)
 
         one_m = 1.0 - alpha
-        t_excl = t_plain * _cumprod_excl(one_m, "c" in mxu)
+        if "C" in ablate:      # microbench stub
+            t_excl = t_plain * one_m
+        else:
+            t_excl = t_plain * _cumprod_excl(one_m, "c" in mxu)
         ok = thresh_ok & (t_excl > T_MIN)
         w = jnp.where(ok, alpha * t_excl, 0.0)
 
@@ -357,14 +383,18 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         # d_col[3] == 0, so its g1 term and d_color row vanish
         nch = 4 if has_depth else 3
         colors = pb[6:6 + nch, :]                    # [nch, G]
-        if "g" in mxu:
+        if "G" in ablate:      # microbench stub
+            g1 = jnp.broadcast_to(d_col[0:1, :], alpha.shape)
+        elif "g" in mxu:
             g1 = _mm(colors, d_col[0:nch, :], (0, 0), _MED)  # [G, P]
         else:
             g1 = 0.0                                 # [G, P] (c_i . dC)
             for c in range(nch):
                 g1 = g1 + colors[c:c + 1, :].T * d_col[c:c + 1, :]
         u = g1 * w
-        if "s" in mxu:
+        if "S" in ablate:      # microbench stub
+            cum_u = u
+        elif "s" in mxu:
             cum_u = _mm_exact_lhs(_ltri(G_BLK, strict=False), u, (1, 0), 2)
         else:
             cum_u = _cumsum_g(u)
@@ -382,7 +412,10 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         # per-entry reductions: [G, P]-to-per-entry sums, either explicit
         # VPU multiply-reduces or MXU contractions over the pixel axis
         zrow = jnp.zeros((1, G_BLK), jnp.float32)
-        if "m" in mxu:
+        if "M" in ablate:      # microbench stub: single-lane moments
+            mom_rows = [dq[:, 0:1].T for _ in range(6)]
+            dlnop = dpw[:, 0:1].T
+        elif "m" in mxu:
             mom8 = _mm(h_feat, dq, (1, 1), _MED)       # [8, G]; rows 6,7 = 0
             mom_rows = [mom8[i:i + 1, :] for i in range(6)]
             # sum(dpw) = -2 * sum(dq * 1) = -2 * moment 0 (h row 0 is ones)
@@ -399,7 +432,10 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
             err2 = jnp.sum(dpw * dpw, axis=1)[None, :]
         else:
             cnt, err2 = zrow, zrow
-        if "d" in mxu:
+        if "D" in ablate:      # microbench stub
+            d_color = jnp.concatenate([w[:, 0:1].T] * 4, axis=0)
+            w_sum = zrow
+        elif "d" in mxu:
             ones_row = jnp.ones((1, tile_h * tile_w), jnp.float32)
             dcw = _mm(jnp.concatenate([d_col[0:nch, :], ones_row], axis=0),
                       w, (1, 1), _MED)                 # [nch+1, G]
@@ -527,11 +563,11 @@ def block_tables(table, tiles_total: int):
 
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
                                              "tile_w", "interpret",
-                                             "has_depth", "mxu"))
+                                             "has_depth", "mxu", "ablate"))
 def raster_forward_pallas(params, block_tile, block_cnt,
                           tiles_total: int, tile_h: int, tile_w: int,
                           interpret: bool = False, has_depth: bool = True,
-                          mxu: str = MXU_MODE):
+                          mxu: str = MXU_MODE, ablate: str = ""):
     """Run the forward kernel.
 
     Returns out_tiles [T + 1, 8, 128]; rows of tiles with no entries are
@@ -549,7 +585,7 @@ def raster_forward_pallas(params, block_tile, block_cnt,
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w,
-                               has_depth=has_depth, mxu=mxu)
+                               has_depth=has_depth, mxu=mxu, ablate=ablate)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -562,11 +598,12 @@ def raster_forward_pallas(params, block_tile, block_cnt,
 @functools.partial(jax.jit, static_argnames=("tiles_total", "tile_h",
                                              "tile_w", "interpret",
                                              "has_depth", "with_stats",
-                                             "mxu"))
+                                             "mxu", "ablate"))
 def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
                            tiles_total: int, tile_h: int, tile_w: int,
                            interpret: bool = False, has_depth: bool = True,
-                           with_stats: bool = True, mxu: str = MXU_MODE):
+                           with_stats: bool = True, mxu: str = MXU_MODE,
+                           ablate: str = ""):
     """Run the backward kernel. Returns per-entry grads [16, E].
 
     dtiles: [T + 1, 8, 128] with rows 0..3 = upstream d(color/depth),
@@ -597,7 +634,7 @@ def raster_backward_pallas(params, dtiles, block_tile, block_cnt,
     )
     kernel = functools.partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w,
                                has_depth=has_depth, with_stats=with_stats,
-                               mxu=mxu)
+                               mxu=mxu, ablate=ablate)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

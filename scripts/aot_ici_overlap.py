@@ -13,7 +13,12 @@ virtual-mesh HLO (scripts/scaling_mesh.py) cannot answer that because the
 CPU backend never emits async collective pairs.  This script is the
 hardware-truth artifact (VERDICT r3 next-round item 5).
 
-Writes ICI_OVERLAP_r4.md + .json at the repo root.
+Writes ICI_OVERLAP_r{N}.md + .json at the repo root (N from
+LITEGS_ROUND, default 5).  Round 5 adds per-dtype all-reduce census +
+byte volumes: the gradient psum rides bf16 now
+(pp.grad_allreduce_dtype), halving the wire volume the r4 bound was
+computed from, and the reduce_scatter count answers whether the
+sharded-stats psum_scatter actually lowers to reduce-scatter.
 
 Run (CPU-only, no TPU tunnel needed):
   JAX_PLATFORMS=cpu python scripts/aot_ici_overlap.py
@@ -94,6 +99,29 @@ def analyze(txt: str) -> dict:
         "all_gather_sync": len(re.findall(r" all-gather\(", txt)),
         "collective_permute": len(re.findall(r"collective-permute", txt)),
     }
+    # per-dtype census + byte volume of every all-reduce/reduce-scatter
+    vols = {}
+    for m in re.finditer(
+            r"= \(?([a-z0-9]+)\[([0-9,]*)\][^=]*?"
+            r"(all-reduce|reduce-scatter)\(", txt):
+        dt, shape, kind = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in shape.split(","):
+            if d:
+                n *= int(d)
+        bytes_ = n * {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1,
+                      "f16": 2}.get(dt, 4)
+        key = f"{kind}:{dt}"
+        vols[key] = vols.get(key, [0, 0])
+        vols[key][0] += 1
+        vols[key][1] += bytes_
+    res["collective_volume"] = {
+        k: {"count": v[0], "bytes": v[1]} for k, v in vols.items()}
+    # raw instruction lines (truncated) -- ground truth for what the
+    # gradient psum / stats psum_scatter actually lowered to
+    res["collective_lines"] = [
+        ln.strip()[:160] for ln in txt.splitlines()
+        if re.search(r"all-reduce\(|reduce-scatter|all-gather\(", ln)]
     return res
 
 
@@ -152,12 +180,13 @@ def main():
     res["ops_inside_async_windows"] = gaps
     print(json.dumps(res, indent=2))
 
+    rn = os.environ.get("LITEGS_ROUND", "5")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "ICI_OVERLAP_r4.json"), "w") as f:
+    with open(os.path.join(root, f"ICI_OVERLAP_r{rn}.json"), "w") as f:
         json.dump(res, f, indent=2)
-    with open(os.path.join(root, "ICI_OVERLAP_r4.md"), "w") as f:
+    with open(os.path.join(root, f"ICI_OVERLAP_r{rn}.md"), "w") as f:
         f.write(
-            "# ICI overlap proof (round 4)\n\n"
+            f"# ICI overlap proof (round {rn})\n\n"
             "AOT compile of the D=8 data-parallel train step against a "
             "detached\n`v5e:2x4` topology (scripts/aot_ici_overlap.py; no "
             "hardware attached --\nthe real TPU compiler's optimized HLO "
@@ -174,8 +203,9 @@ def main():
             "Interpretation: a nonzero async-pair count with >0 "
             "instructions inside\nthe window means XLA overlaps the "
             "gradient psum with the surrounding\nbackward compute "
-            "(BASELINE: 'allreduce overlapped with tile backward').\n")
-    print("wrote ICI_OVERLAP_r4.{md,json}")
+            "(BASELINE: 'allreduce overlapped with tile backward').\n"
+            f"- per-dtype collective volume: {res['collective_volume']}\n")
+    print(f"wrote ICI_OVERLAP_r{rn}.{{md,json}}")
 
 
 if __name__ == "__main__":
