@@ -469,10 +469,17 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         from .stream_gather import expand_attrs_windowed
         attrs1 = jnp.pad(pt_sorted.T, ((0, 4), (0, 0)))      # [16, M]
         sps1 = _sps(row_capacity)
+        # bisect aid (shadow-only): run the kernel on constant operands to
+        # separate "operand values/producers" from "kernel in context"
+        if _shadow and os.environ.get("LITEGS_STREAM_ZERO"):
+            attrs1 = jnp.zeros_like(attrs1)
+            rows_in = jnp.ones_like(rows_sorted)
+        else:
+            rows_in = rows_sorted
         # counts > 0 prefix: owners advance <= sps per step, so window =
         # sps + 128 (alignment) is strictly sufficient
         av, row_rank, total_rows, ok1 = expand_attrs_windowed(
-            attrs1, rows_sorted, row_capacity,
+            attrs1, rows_in, row_capacity,
             window_items=sps1 + 128, slots_per_step=sps1,
             interpret=interp)
         ok_windows &= ok1

@@ -101,8 +101,10 @@ def expand_attrs(attrs, counts, out_len: int, interpret: bool = False):
     starts = cum - counts
     nb = out_len // BLK
     blk_lo = owner_of_slots(cum, jnp.arange(nb, dtype=jnp.int32) * BLK)
+    # lookahead guard -- see expand_attrs_windowed
+    blk_lo = jnp.concatenate([blk_lo, blk_lo[-1:]])
 
-    s_pad = _round_up(s, BLK) + BLK
+    s_pad = _round_up(s, BLK) + 2 * BLK
     attrs_p = jnp.pad(attrs, ((0, 0), (0, s_pad - s)))
     # pad starts with INT_BIG so window counts ignore the dead tail
     starts_t = jnp.pad(starts, (0, s_pad - s),
@@ -229,8 +231,18 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
         cum, jnp.minimum(step0 + (slots_per_step - 1), last_live))
     # the window anchored at floor(lo/128)*128 spans nblk*128 items
     ok = jnp.all(blk_hi - blk_lo <= (nblk - 1) * BLK)
+    # LOOKAHEAD GUARD: the Mosaic pipeline evaluates the dynamic block
+    # index maps one grid step AHEAD to prefetch; at the last step that
+    # reads prefetch slot [nsteps] -- one past the array.  The garbage
+    # scalar becomes a DMA base offset, which lands harmlessly inside a
+    # neighboring allocation for most heap layouts and INVALID_ARGUMENTs
+    # for others (the round-4 "standalone-green, in-step fault" mystery:
+    # whether it crashed depended on what the allocator placed after the
+    # buffer, i.e. on which OTHER executables had run first).  One
+    # trailing sentinel makes the lookahead read defined.
+    blk_lo = jnp.concatenate([blk_lo, blk_lo[-1:]])
 
-    s_pad = _round_up(s, BLK) + nblk * BLK
+    s_pad = _round_up(s, BLK) + (nblk + 1) * BLK
     attrs_p = jnp.pad(attrs, ((0, 0), (0, s_pad - s)))
     starts_t = jnp.pad(starts, (0, s_pad - s),
                        constant_values=INT_BIG)[:, None]   # [s_pad, 1]
@@ -283,9 +295,11 @@ def gather_blocks(attrs, src_lo, interpret: bool = False):
     """
     a, s = attrs.shape
     nb = src_lo.shape[0]
-    s_pad = _round_up(s, BLK) + BLK
+    s_pad = _round_up(s, BLK) + 2 * BLK
     attrs_p = jnp.pad(attrs, ((0, 0), (0, s_pad - s)))
     src_lo = jnp.clip(src_lo.astype(jnp.int32), 0, s - 1)
+    # lookahead guard -- see expand_attrs_windowed
+    src_lo = jnp.concatenate([src_lo, src_lo[-1:]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
