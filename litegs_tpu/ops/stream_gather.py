@@ -186,11 +186,13 @@ def _expand_kernel_w(blo_ref, *refs, nblk: int, slots: int):
 
 
 @functools.partial(jax.jit, static_argnames=("out_len", "window_items",
-                                             "slots_per_step", "interpret"))
+                                             "slots_per_step", "interpret",
+                                             "dma"))
 def expand_attrs_windowed(attrs, counts, out_len: int,
                           window_items: int = 256,
                           slots_per_step: int = 256,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          dma: bool = None):
     """Replicate per-item attribute rows into flat expansion slots, with a
     parametric item window and multi-block output steps.
 
@@ -212,6 +214,9 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
        ok scalar bool).  Slots past ``total`` hold arbitrary values.
     """
     from . import scan as _scan
+    import os as _os
+    if dma is None:
+        dma = _os.environ.get("LITEGS_STREAM_DMA", "0") == "1"
     a, s = attrs.shape
     assert a % 8 == 0 and out_len % slots_per_step == 0
     assert window_items % BLK == 0
@@ -247,6 +252,37 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
     starts_t = jnp.pad(starts, (0, s_pad - s),
                        constant_values=INT_BIG)[:, None]   # [s_pad, 1]
 
+    if dma:
+        # explicit in-kernel window DMA (no dynamic input index maps)
+        w = nblk * BLK
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(
+                pl.BlockSpec((a, slots_per_step), lambda b, lo: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, slots_per_step), lambda b, lo: (0, b),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((a, w), jnp.float32),
+                pltpu.VMEM((w, 1), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        out, rank = pl.pallas_call(
+            functools.partial(_expand_kernel_dma, nblk=nblk,
+                              slots=slots_per_step),
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((a, out_len), jnp.float32),
+                       jax.ShapeDtypeStruct((1, out_len), jnp.int32)),
+            interpret=interpret,
+        )(blk_lo, attrs_p, starts_t.astype(jnp.int32))
+        return out, rank[0], total, ok
+
     in_specs = (
         [pl.BlockSpec((a, BLK),
                       (lambda b, lo, _k=k: (0, lo[b] // BLK + _k)),
@@ -274,6 +310,38 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
         interpret=interpret,
     )(blk_lo, *([attrs_p] * nblk), *([starts_t] * nblk))
     return out, rank[0], total, ok
+
+
+def _expand_kernel_dma(blo_ref, attrs_hbm, starts_hbm, out_ref, rank_ref,
+                       attrs_v, starts_v, sem_a, sem_s, *, nblk: int,
+                       slots: int):
+    """Explicit-DMA variant of _expand_kernel_w: the window is fetched by
+    an in-kernel async copy at a dynamic 128-aligned offset (the pattern
+    _bwd_kernel uses for its cotangent rows) instead of dynamic
+    scalar-prefetch block index maps.  Functionally identical."""
+    b = pl.program_id(0)
+    w = nblk * BLK
+    w0 = (blo_ref[b] // BLK) * BLK
+    cp_a = pltpu.make_async_copy(attrs_hbm.at[:, pl.ds(w0, w)], attrs_v,
+                                 sem_a)
+    cp_s = pltpu.make_async_copy(starts_hbm.at[pl.ds(w0, w), :], starts_v,
+                                 sem_s)
+    cp_a.start()
+    cp_s.start()
+    cp_a.wait()
+    cp_s.wait()
+    slot_ids = (b * slots
+                + jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1))
+    starts = starts_v[:, :]                             # [w, 1]
+    leq = starts <= slot_ids                            # [w, slots]
+    cnt = jnp.sum(leq.astype(jnp.int32), axis=0, keepdims=True)
+    owner_local = jnp.clip(cnt - 1, 0, w - 1)
+    start_at = jnp.max(jnp.where(leq, jnp.broadcast_to(starts, leq.shape),
+                                 jnp.int32(-1)), axis=0, keepdims=True)
+    rank_ref[:, :] = slot_ids - start_at
+    out_ref[:, :] = _window_gather_k(
+        [attrs_v[:, k * BLK:(k + 1) * BLK] for k in range(nblk)],
+        owner_local, nblk)
 
 
 def _monotonic_kernel(slo_ref, attrs0, attrs1, out_ref):
