@@ -252,14 +252,31 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
     starts_t = jnp.pad(starts, (0, s_pad - s),
                        constant_values=INT_BIG)[:, None]   # [s_pad, 1]
 
+    if _os.environ.get("LITEGS_STREAM_FAKE") == "1":
+        # bisect aid: run the whole XLA-side prelude (cumsum,
+        # owner_of_slots, pads) but SKIP the pallas kernel -- fake
+        # outputs keep the prelude live.  Separates "kernel execution
+        # faults" from "the stream branch's XLA prelude faults".
+        dep = (blk_lo[-1] * 0).astype(jnp.float32) + attrs_p[0, -1] * 0.0
+        out = jnp.zeros((a, out_len), jnp.float32) + dep
+        rank = jnp.zeros((out_len,), jnp.int32) + blk_lo[-1] * 0
+        return out, rank, total, ok
+
     if dma:
-        # explicit in-kernel window DMA (no dynamic input index maps)
+        # fully-DMA path: ONE [a_pad, window] async copy per step carries
+        # attrs AND the starts row; zero dynamic input index maps
         w = nblk * BLK
+        a_pad = _round_up(a + 1, 8)
+        starts_row = jnp.pad(
+            starts, (0, s_pad - s),
+            constant_values=INT_BIG).astype(jnp.float32)[None, :]
+        attrs_aug = jnp.concatenate(
+            [attrs_p, starts_row,
+             jnp.zeros((a_pad - a - 1, s_pad), jnp.float32)], axis=0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nsteps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=(
                 pl.BlockSpec((a, slots_per_step), lambda b, lo: (0, b),
                              memory_space=pltpu.VMEM),
@@ -267,20 +284,18 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((a, w), jnp.float32),
-                pltpu.VMEM((w, 1), jnp.int32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((a_pad, w), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )
         out, rank = pl.pallas_call(
             functools.partial(_expand_kernel_dma, nblk=nblk,
-                              slots=slots_per_step),
+                              slots=slots_per_step, a_rows=a),
             grid_spec=grid_spec,
             out_shape=(jax.ShapeDtypeStruct((a, out_len), jnp.float32),
                        jax.ShapeDtypeStruct((1, out_len), jnp.int32)),
             interpret=interpret,
-        )(blk_lo, attrs_p, starts_t.astype(jnp.int32))
+        )(blk_lo, attrs_aug)
         return out, rank[0], total, ok
 
     in_specs = (
@@ -312,35 +327,44 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
     return out, rank[0], total, ok
 
 
-def _expand_kernel_dma(blo_ref, attrs_hbm, starts_hbm, out_ref, rank_ref,
-                       attrs_v, starts_v, sem_a, sem_s, *, nblk: int,
-                       slots: int):
-    """Explicit-DMA variant of _expand_kernel_w: the window is fetched by
-    an in-kernel async copy at a dynamic 128-aligned offset (the pattern
-    _bwd_kernel uses for its cotangent rows) instead of dynamic
-    scalar-prefetch block index maps.  Functionally identical."""
+def _expand_kernel_dma(blo_ref, attrs_hbm, out_ref, rank_ref,
+                       attrs_v, sem_a, *, nblk: int, slots: int,
+                       a_rows: int):
+    """Fully-DMA variant of _expand_kernel_w: ONE async copy fetches the
+    whole [a_pad, w] window (attrs + the per-item start offsets riding as
+    f32 row ``a_rows``) at a dynamic 128-aligned lane offset -- no
+    dynamic input index maps at all (the construct behind the r4 in-step
+    fault).  The lane-major starts row is transposed to [w, 1] with an
+    exact MXU identity contraction (starts < 2^24 are exact in f32, and
+    0/1 identity entries are exact in bf16, so HIGHEST-precision dot is
+    bit-exact)."""
     b = pl.program_id(0)
     w = nblk * BLK
     w0 = (blo_ref[b] // BLK) * BLK
     cp_a = pltpu.make_async_copy(attrs_hbm.at[:, pl.ds(w0, w)], attrs_v,
                                  sem_a)
-    cp_s = pltpu.make_async_copy(starts_hbm.at[pl.ds(w0, w), :], starts_v,
-                                 sem_s)
     cp_a.start()
-    cp_s.start()
-    cp_a.wait()
-    cp_s.wait()
     slot_ids = (b * slots
                 + jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1))
-    starts = starts_v[:, :]                             # [w, 1]
-    leq = starts <= slot_ids                            # [w, slots]
+    slot_f = slot_ids.astype(jnp.float32)
+    cp_a.wait()
+    starts_row = attrs_v[a_rows:a_rows + 1, :]          # [1, w] f32 ints
+    # MXU transpose: out[i, 0] = sum_j I[i, j] * starts_row[0, j]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    ident = (ri == ci).astype(jnp.float32)
+    starts = jax.lax.dot_general(
+        ident, starts_row, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # [w, 1]
+    leq = starts <= slot_f                              # [w, slots]
     cnt = jnp.sum(leq.astype(jnp.int32), axis=0, keepdims=True)
     owner_local = jnp.clip(cnt - 1, 0, w - 1)
     start_at = jnp.max(jnp.where(leq, jnp.broadcast_to(starts, leq.shape),
-                                 jnp.int32(-1)), axis=0, keepdims=True)
-    rank_ref[:, :] = slot_ids - start_at
+                                 -1.0), axis=0, keepdims=True)
+    rank_ref[:, :] = slot_ids - start_at.astype(jnp.int32)
     out_ref[:, :] = _window_gather_k(
-        [attrs_v[:, k * BLK:(k + 1) * BLK] for k in range(nblk)],
+        [attrs_v[:a_rows, k * BLK:(k + 1) * BLK] for k in range(nblk)],
         owner_local, nblk)
 
 

@@ -52,7 +52,7 @@ def main():
                                              masked_chunk_aabb)
 
     img_h, img_w, n_points, sh_degree = 64, 64, 2048, 1
-    n_iters = int(os.environ.get("SCALING_ITERS", 8))
+    n_iters = int(os.environ.get("SCALING_ITERS", 20))
     xyz, rgb = synthetic.make_gaussian_cloud(n_points, seed=0)
     params = pad_params(create_gaussians(xyz, rgb, sh_degree),
                         cfg.round_up(n_points, 1024))
@@ -110,30 +110,46 @@ def main():
         state, stats, m = step(state, stats, origin, extend, view, proj,
                                planes, center, gt, wt)
         _ = float(m["loss"])
-        t0 = time.perf_counter()
+        # per-iteration timing so the report can separate the overhead
+        # signal from single-core scheduling noise (VERDICT r4 weak #3:
+        # the r4 single-mean numbers had a noise band wider than the
+        # margin by which the 80% bar was "cleared")
+        ts = []
         for _ in range(n_iters):
+            t0 = time.perf_counter()
             state, stats, m = step(state, stats, origin, extend, view,
                                    proj, planes, center, gt, wt)
-        _ = float(m["loss"])
-        dt = (time.perf_counter() - t0) / n_iters
-        rows.append((d, dt))
+            _ = float(m["loss"])
+            ts.append(time.perf_counter() - t0)
+        ts = np.asarray(ts)
+        dt = float(np.median(ts))
+        iqr = float(np.percentile(ts, 75) - np.percentile(ts, 25))
+        rows.append((d, dt, iqr, len(ts)))
         print(json.dumps({"devices": d, "step_ms": round(dt * 1e3, 2),
+                          "iqr_ms": round(iqr * 1e3, 2),
+                          "n": len(ts),
                           "per_view_ms": round(dt / d * 1e3, 2)}),
               flush=True)
 
     t1 = rows[0][1]
+    rn = os.environ.get("LITEGS_ROUND", "5")
     lines = [
-        "# Virtual-mesh scaling (round 3)", "",
+        f"# Virtual-mesh parallel-overhead proxy (round {rn})", "",
         "One physical core hosts all virtual devices, so the measurable",
-        "quantity is parallel *overhead*, not speedup:",
-        "efficiency(D) = T_1 / (T_D / D).", "",
-        "| D | step ms | per-view ms | efficiency |",
-        "|---|---------|-------------|------------|",
+        "quantity is parallel *overhead*, NOT scaling:",
+        "efficiency(D) = T_1 / (T_D / D) measures what the collectives +",
+        "sharding machinery add on top of the compute.  Times are",
+        "per-iteration MEDIANS with the inter-quartile range as the",
+        "noise band.", "",
+        "| D | step ms (median) | IQR ms | n | per-view ms | overhead "
+        "efficiency |",
+        "|---|------------------|--------|---|-------------|"
+        "------------|",
     ]
-    for d, dt in rows:
+    for d, dt, iqr, n in rows:
         eff = t1 / (dt / d)
-        lines.append(f"| {d} | {dt*1e3:.1f} | {dt/d*1e3:.1f} | "
-                     f"{eff*100:.0f}% |")
+        lines.append(f"| {d} | {dt*1e3:.1f} | {iqr*1e3:.1f} | {n} | "
+                     f"{dt/d*1e3:.1f} | {eff*100:.1f}% |")
     lines += ["", "## psum overlap (compile-level)", ""]
     if hlo_overlap and "error" not in hlo_overlap:
         lines += [
@@ -150,7 +166,7 @@ def main():
     else:
         lines += [f"HLO inspection failed: {hlo_overlap}"]
     out = os.environ.get("SCALING_OUT", os.path.join(
-        os.path.dirname(__file__), "..", "SCALING_r3.md"))
+        os.path.dirname(__file__), "..", f"SCALING_r{rn}.md"))
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote", os.path.abspath(out), file=sys.stderr)
