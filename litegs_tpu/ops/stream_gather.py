@@ -252,14 +252,25 @@ def expand_attrs_windowed(attrs, counts, out_len: int,
     starts_t = jnp.pad(starts, (0, s_pad - s),
                        constant_values=INT_BIG)[:, None]   # [s_pad, 1]
 
-    if _os.environ.get("LITEGS_STREAM_FAKE") == "1":
-        # bisect aid: run the whole XLA-side prelude (cumsum,
-        # owner_of_slots, pads) but SKIP the pallas kernel -- fake
-        # outputs keep the prelude live.  Separates "kernel execution
-        # faults" from "the stream branch's XLA prelude faults".
-        dep = (blk_lo[-1] * 0).astype(jnp.float32) + attrs_p[0, -1] * 0.0
+    _fake = _os.environ.get("LITEGS_STREAM_FAKE")
+    if _fake:
+        # bisect aid: run parts of the XLA-side prelude but SKIP the
+        # pallas kernel -- fake outputs keep the selected prelude ops
+        # live.  Level "1" keeps everything (proved the kernel INNOCENT:
+        # the prelude alone faults); "2" keeps only the attrs pad
+        # materialization; "3" keeps only the owner_of_slots searches.
+        dep = jnp.float32(0.0)
+        if _fake in ("1", "2"):
+            dep = dep + attrs_p[0, -1] * 0.0
+        if _fake == "2":
+            # sever owner_of_slots COMPLETELY: `ok` normally keeps the
+            # binary searches live through the overflow flag
+            ok = jnp.bool_(True)
+        if _fake in ("1", "3"):
+            dep = dep + (blk_lo[-1] * 0).astype(jnp.float32) \
+                + (blk_hi[-1] * 0).astype(jnp.float32)
         out = jnp.zeros((a, out_len), jnp.float32) + dep
-        rank = jnp.zeros((out_len,), jnp.int32) + blk_lo[-1] * 0
+        rank = jnp.zeros((out_len,), jnp.int32) + dep.astype(jnp.int32)
         return out, rank, total, ok
 
     if dma:
