@@ -467,7 +467,16 @@ def build_tile_table(ndc, view_z, inv_cov2d, opacity, valid_mask,
         # depth key pushed zero-row points to the tail, so counts > 0 form
         # a contiguous prefix and window 256 is strictly sufficient.
         from .stream_gather import expand_attrs_windowed
-        attrs1 = jnp.pad(pt_sorted.T, ((0, 4), (0, 0)))      # [16, M]
+        # [16, M] attr rows.  Construction order is load-bearing (r5
+        # fault bisect, PERF.md r5 §1): pad the GATHER result's columns
+        # (fuses into the row-gather), then materialize the transpose
+        # behind an optimization_barrier before any further pad/consumer
+        # -- the fused pad∘transpose∘gather chain XLA otherwise builds
+        # miscompiles on this TPU runtime (allocator-layout-dependent
+        # INVALID_ARGUMENT; reproduced with the Pallas kernel replaced
+        # by zeros, so the kernel is not involved).
+        attrs1 = jax.lax.optimization_barrier(
+            jnp.pad(pt_sorted, ((0, 0), (0, 4))).T)
         sps1 = _sps(row_capacity)
         # bisect aid (shadow-only): run the kernel on constant operands to
         # separate "operand values/producers" from "kernel in context"
