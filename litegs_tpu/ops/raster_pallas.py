@@ -284,7 +284,8 @@ def _fwd_kernel(bt_ref, bc_ref, params_ref, out_ref, *, tile_h, tile_w,
         nch = 4 if has_depth else 3
         colors = pb[6:6 + nch, :]                      # [nch, G] rgb[+depth]
         if "A" in ablate:      # microbench stub: no channel reduce
-            acc = w[0:nch, :]
+            acc = jnp.concatenate(
+                [jnp.sum(w[0:8, :], axis=0, keepdims=True)] * nch, axis=0)
         elif "a" in mxu:
             acc = _mm(colors, w, (1, 0), _MED)         # [nch, P] MXU
         else:
@@ -412,9 +413,10 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         # per-entry reductions: [G, P]-to-per-entry sums, either explicit
         # VPU multiply-reduces or MXU contractions over the pixel axis
         zrow = jnp.zeros((1, G_BLK), jnp.float32)
-        if "M" in ablate:      # microbench stub: single-lane moments
-            mom_rows = [dq[:, 0:1].T for _ in range(6)]
-            dlnop = dpw[:, 0:1].T
+        if "M" in ablate:      # microbench stub: 8-lane moments
+            m0 = jnp.sum(dq[:, 0:8], axis=1)[None, :]
+            mom_rows = [m0 for _ in range(6)]
+            dlnop = jnp.sum(dpw[:, 0:8], axis=1)[None, :]
         elif "m" in mxu:
             mom8 = _mm(h_feat, dq, (1, 1), _MED)       # [8, G]; rows 6,7 = 0
             mom_rows = [mom8[i:i + 1, :] for i in range(6)]
@@ -433,7 +435,8 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         else:
             cnt, err2 = zrow, zrow
         if "D" in ablate:      # microbench stub
-            d_color = jnp.concatenate([w[:, 0:1].T] * 4, axis=0)
+            d0 = jnp.sum(w[:, 0:8], axis=1)[None, :]
+            d_color = jnp.concatenate([d0] * 4, axis=0)
             w_sum = zrow
         elif "d" in mxu:
             ones_row = jnp.ones((1, tile_h * tile_w), jnp.float32)
