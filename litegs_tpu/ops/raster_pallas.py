@@ -205,6 +205,12 @@ def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False,
     if "E" in ablate:
         alpha_raw = jnp.maximum(1.0 + 0.1 * power, 0.0)
     else:
+        # The transcendental is HALF the forward kernel (~21 of 41.6 ms,
+        # scripts/microbench_kernelstages.py r5 ablation) and is a
+        # hardware floor, not a lowering artifact: exp2(x*log2e) measured
+        # bit-neutral and time-neutral (41.55 vs 41.61 ms, PERF.md r5).
+        # Pass-count work on the polynomial/scan stages cannot reach
+        # <60 ms combined; only evaluating exp on FEWER elements can.
         alpha_raw = jnp.exp(power)
     thresh_ok = (alpha_raw >= ALPHA_MIN) & in_range
     alpha = jnp.where(thresh_ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
