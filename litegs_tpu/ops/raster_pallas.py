@@ -191,8 +191,8 @@ def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False,
     broadcast, 'E' stubs exp to an affine map.
     """
     if "Q" in ablate:
-        q = jnp.broadcast_to(params_blk[0:1, :].T,
-                             (G_BLK, h_feat.shape[1]))
+        # one-term form of the production pattern (6 -> 1 FMA passes)
+        q = params_blk[0:1, :].T * h_feat[0:1, :]
     elif mxu_q:
         q = _mm(params_blk[0:8, :], h_feat, (0, 0), _HI)      # [G, P]
     else:
@@ -390,8 +390,8 @@ def _bwd_kernel(bt_ref, bc_ref, params_ref, dtiles_hbm, grad_ref, carry,
         # d_col[3] == 0, so its g1 term and d_color row vanish
         nch = 4 if has_depth else 3
         colors = pb[6:6 + nch, :]                    # [nch, G]
-        if "G" in ablate:      # microbench stub
-            g1 = jnp.broadcast_to(d_col[0:1, :], alpha.shape)
+        if "G" in ablate:      # microbench stub (one-term form)
+            g1 = colors[0:1, :].T * d_col[0:1, :]
         elif "g" in mxu:
             g1 = _mm(colors, d_col[0:nch, :], (0, 0), _MED)  # [G, P]
         else:
