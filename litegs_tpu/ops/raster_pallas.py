@@ -71,6 +71,11 @@ NEG_BIG = 60.0       # -0.5*Q' for padded entries => alpha ~ exp(-30)
 #   m: dq moments H @ dq.T                         (bwd)
 MXU_MODE = RASTER_MXU_MODE
 
+# exp by explicit exponent construction (see _fast_exp): ~4e-6 relative
+# accuracy, measured on-chip before enabling (PERF.md r5 #7)
+import os as _os
+FAST_EXP = _os.environ.get("LITEGS_FAST_EXP", "0") == "1"
+
 _HI = "highest"   # native 6-pass (Mosaic supports DEFAULT and HIGHEST only)
 _MED = "split3"   # manual 3-pass bf16 split (XLA's HIGH, which Mosaic lacks)
 
@@ -171,6 +176,39 @@ def _cumprod_excl_g(x):
     return x
 
 
+_LOG2E = 1.4426950408889634
+# ln2^k / k!  (degree-5 Taylor of 2^f on |f| <= 0.5: truncation error
+# ~3.4e-6 relative -- well inside the 1e-4 on-chip parity bars)
+_EXP_C = (1.0, 0.6931471805599453, 0.2402265069591007,
+          0.05550410866482158, 0.009618129107628477,
+          0.0013333558146428443)
+
+
+def _fast_exp(x):
+    """exp(x) by explicit exponent construction: ~12 cheap VPU ops
+    against the builtin's polynomial ladder (the stage ablation puts the
+    builtin at HALF of each kernel, PERF.md r5 #7).
+
+    exp(x) = 2^i * 2^f with t = x*log2e, i = round(t), f = t - i; the
+    2^i factor is built by writing (i+127) into the f32 exponent bits.
+    The exponent clamp at -126 keeps every constructed value NORMAL --
+    the TPU denormal-flush hazard (CLAUDE.md invariant) cannot trigger,
+    and anything that WOULD have been subnormal is < 2^-126, far below
+    the alpha >= 1/256 threshold that zeroes it anyway.  Accuracy
+    ~4e-6 relative; NaN/garbage inputs land at the clamp and threshold
+    to zero exactly like the builtin path."""
+    t = x * _LOG2E
+    i = jnp.floor(t + 0.5)
+    f = t - i
+    p = _EXP_C[5]
+    for c in (_EXP_C[4], _EXP_C[3], _EXP_C[2], _EXP_C[1], _EXP_C[0]):
+        p = p * f + c
+    ic = jnp.clip(i, -126.0, 126.0).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(ic + 127, 23), jnp.float32)
+    return p * scale
+
+
 def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False,
                  ablate: str = ""):
     """alpha (clamped+thresholded) and raw exp for one gaussian block.
@@ -210,8 +248,12 @@ def _block_alpha(params_blk, h_feat, count_left, mxu_q: bool = False,
         # hardware floor, not a lowering artifact: exp2(x*log2e) measured
         # bit-neutral and time-neutral (41.55 vs 41.61 ms, PERF.md r5).
         # Pass-count work on the polynomial/scan stages cannot reach
-        # <60 ms combined; only evaluating exp on FEWER elements can.
-        alpha_raw = jnp.exp(power)
+        # <60 ms combined; only a cheaper exponential (or fewer exp
+        # elements) can -- hence _fast_exp (gated, measured on-chip).
+        if FAST_EXP:
+            alpha_raw = _fast_exp(power)
+        else:
+            alpha_raw = jnp.exp(power)
     thresh_ok = (alpha_raw >= ALPHA_MIN) & in_range
     alpha = jnp.where(thresh_ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
     return alpha, alpha_raw, thresh_ok
