@@ -71,8 +71,12 @@ NEG_BIG = 60.0       # -0.5*Q' for padded entries => alpha ~ exp(-30)
 #   m: dq moments H @ dq.T                         (bwd)
 MXU_MODE = RASTER_MXU_MODE
 
-# exp by explicit exponent construction (see _fast_exp): ~4e-6 relative
-# accuracy, measured on-chip before enabling (PERF.md r5 #7)
+# exp by explicit exponent construction (see _fast_exp).  MEASURED
+# SLOWER on-chip (fwd 48.8 vs 43.8 ms, bwd 61.5 vs 55.7 -- the builtin
+# transcendental already beats a hand-rolled Horner + int/bitcast
+# construction on this VPU; PERF.md r5 #7).  Kept gated OFF as the
+# recorded negative result so the next optimizer doesn't redo it; the
+# remaining kernel lever is evaluating exp on FEWER elements.
 import os as _os
 FAST_EXP = _os.environ.get("LITEGS_FAST_EXP", "0") == "1"
 
