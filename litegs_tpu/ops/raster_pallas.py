@@ -630,6 +630,18 @@ def raster_forward_pallas(params, block_tile, block_cnt,
     padding dump -- callers mask with tile_count (see ops/raster.py).
     """
     nb = block_tile.shape[0]
+    # LOOKAHEAD SENTINEL: the out index map is scalar-prefetch-dependent
+    # (bt[b]); Mosaic's pipeline evaluates dynamic block index maps one
+    # grid step AHEAD, so the last step reads bt[nb] -- one past the
+    # array.  The garbage value becomes an output-DMA block offset into
+    # the [T+1, ...] buffer: an out-of-bounds WRITE whose victim depends
+    # on what the allocator placed after it (the round-4/5 "stream branch
+    # faults only after another executable ran" mystery -- see
+    # stream_gather.expand_attrs_windowed).  One trailing dump-row
+    # sentinel makes the lookahead read defined and in-bounds.
+    block_tile = jnp.concatenate(
+        [block_tile, jnp.full((1,), tiles_total, jnp.int32)])
+    block_cnt = jnp.concatenate([block_cnt, jnp.zeros((1,), jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
